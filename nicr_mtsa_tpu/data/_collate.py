@@ -1,0 +1,110 @@
+"""Batch collation and subset sampling.
+
+`collate` (exported as `mt_collate`) mirrors reference
+data/_dataloader.py:20-49: dict-of-sample -> dict-of-batch with
+
+- blacklisted types (`CollateIgnoredDict`, `AppliedPreprocessingMeta`,
+  and anything passed via `type_blacklist`) kept as per-sample lists,
+- ragged arrays (differing shapes, e.g. DVE LUTs) kept as lists,
+- equal-shape numpy arrays stacked along a new leading batch axis,
+- python scalars stacked into numpy arrays.
+
+Note the role reversal versus the reference: there, `np.ndarray` is
+blacklisted and only torch tensors stack; here numpy arrays ARE the
+batch currency (they become jax arrays at device transfer).
+
+`RandomSamplerSubset` mirrors data/_dataloader.py:52-116 with numpy
+RNG instead of torch generators.
+"""
+from typing import Any, Iterator, List, Sequence, Sized, Tuple, Type, Union
+
+import random
+
+import numpy as np
+
+from ._types import AppliedPreprocessingMeta
+from ._types import CollateIgnoredDict
+
+
+_DEFAULT_BLACKLIST = (CollateIgnoredDict, AppliedPreprocessingMeta)
+
+
+def collate(
+    data: List[Any],
+    type_blacklist: Tuple[Type, ...] = (),
+    default_type_blacklist: Tuple[Type, ...] = _DEFAULT_BLACKLIST,
+) -> Any:
+    elem = data[0]
+
+    if isinstance(elem, type_blacklist + default_type_blacklist):
+        return data
+
+    if isinstance(elem, np.ndarray):
+        if not all(a.shape == elem.shape for a in data):
+            # ragged (e.g. per-sample DVE LUTs): keep as list
+            return data
+        return np.stack(data)
+
+    if isinstance(elem, dict):
+        return {
+            key: collate([s[key] for s in data], type_blacklist)
+            for key in elem
+        }
+
+    if isinstance(elem, (int, float, bool, np.generic)):
+        return np.asarray(data)
+
+    # strings, slices, None, ... -> keep as list
+    return data
+
+
+def mt_collate(data: List[Any], type_blacklist: Tuple[Type, ...] = ()) -> Any:
+    return collate(data, type_blacklist=type_blacklist)
+
+
+class RandomSamplerSubset:
+    """Random sampling of a fraction of a dataset (optionally per
+    sub-dataset of a concatenated dataset). `deterministic=True` seeds
+    the permutation with 0 so every epoch visits the same subset (in
+    shuffled order)."""
+
+    def __init__(
+        self,
+        data_source: Sized,
+        subset: Union[float, Sequence[float]] = 1.0,
+        deterministic: bool = False,
+    ) -> None:
+        self._data_source = data_source
+        self.subset = subset
+        self.deterministic = deterministic
+
+        if isinstance(self.subset, (list, tuple)):
+            assert hasattr(self._data_source, 'datasets'), \
+                "per-subset fractions require a concatenated dataset"
+            assert len(self.subset) == len(self._data_source.datasets)
+
+    def __iter__(self) -> Iterator[int]:
+        seed = 0 if self.deterministic else np.random.randint(0, 2 ** 63 - 1)
+        rng = np.random.default_rng(seed)
+
+        if isinstance(self.subset, (list, tuple)):
+            indices = []
+            start_idx = 0
+            for ds, s in zip(self._data_source.datasets, self.subset):
+                ds_indices = rng.permutation(len(ds)) + start_idx
+                indices.extend(ds_indices.tolist()[:int(len(ds) * s)])
+                start_idx += len(ds)
+        else:
+            indices = rng.permutation(len(self._data_source))
+            indices = indices.tolist()[:len(self)]
+
+        random.shuffle(indices)
+        yield from indices
+
+    def __len__(self) -> int:
+        if isinstance(self.subset, (list, tuple)):
+            return sum(
+                int(len(ds) * s)
+                for ds, s in zip(self._data_source.datasets, self.subset)
+            )
+        return int(len(self._data_source) * self.subset)

@@ -1,0 +1,303 @@
+"""Resize / pad / valid-region preprocessing (host-side numpy).
+
+Re-implements the semantics of reference data/preprocessing/resize.py
+without OpenCV:
+
+- nearest-neighbor resize is a pure index gather (`floor(i*src/dst)`,
+  the cv2.INTER_NEAREST mapping), which is *exact for any dtype* --
+  the reference's bool->uint8 and uint32-as-4xuint8 view workarounds
+  (resize.py:123-139) become unnecessary.
+- bilinear resize (rgb only) uses half-pixel-centered sampling with
+  edge clamping, matching cv2.INTER_LINEAR up to its fixed-point
+  rounding (verified within +-2/255 in tests).
+- `Resize` records `valid_region_slice_y/x` in the provenance meta
+  (resize.py:202-285); inference postprocessing uses those slices to
+  crop away aspect-ratio padding before full-resolution upsampling.
+"""
+from typing import Any, Dict, Iterable, Optional, Tuple
+
+import numpy as np
+
+from ...types import SampleType
+from .base import get_applied_preprocessing_meta
+from .base import PreprocessingBase
+from .utils import _get_input_shape
+from .utils import _get_relevant_spatial_keys
+from .clone import FlatCloneEntries
+
+
+FULLRES_SUFFIX = '_fullres'
+
+
+def get_fullres_key(key: str) -> str:
+    return f'{key}{FULLRES_SUFFIX}'
+
+
+def get_fullres(sample: SampleType, key: str) -> Any:
+    return sample.get(get_fullres_key(key), None)
+
+
+def get_fullres_shape(sample: SampleType, key: str) -> Tuple[int, int]:
+    for k in (key, 'rgb', 'depth'):
+        img = get_fullres(sample, k)
+        if img is not None:
+            # batched arrays are NHWC/NHW; per-sample are HWC/HW -- in all
+            # cases the spatial dims are the first two after stripping an
+            # optional leading batch axis and optional trailing channels.
+            shape = img.shape
+            if img.ndim == 2:
+                return tuple(shape)
+            if img.ndim == 3:
+                # ambiguous HWC vs NHW: channels are small (<=4)
+                if shape[-1] <= 4:
+                    return tuple(shape[:2])
+                return tuple(shape[1:3])
+            # ndim == 4: NHWC
+            return tuple(shape[1:3])
+    raise ValueError(f"Unable to get fullres shape for `{key}`.")
+
+
+def get_valid_region_slices(sample: SampleType) -> Tuple[slice, slice]:
+    meta = get_applied_preprocessing_meta(sample)
+    # all samples in a batch share the original resolution -> first element
+    entries = meta[0] if (len(meta) and isinstance(meta[0], list)) else meta
+    for pre in entries:
+        if pre.get('type', None) == 'Resize':
+            return (pre['valid_region_slice_y'], pre['valid_region_slice_x'])
+    raise ValueError("Unable to get valid region slices.")
+
+
+def get_valid_region_slices_and_fullres_shape(
+    sample: SampleType,
+    key: str,
+) -> Tuple[Tuple[slice, slice], Tuple[int, int]]:
+    return get_valid_region_slices(sample), get_fullres_shape(sample, key)
+
+
+class FullResCloner(FlatCloneEntries):
+    def __init__(
+        self,
+        keys_to_keep_fullres: Optional[Iterable[str]] = None,
+        ignore_missing_keys: bool = True,
+    ) -> None:
+        super().__init__(
+            keys_to_clone=keys_to_keep_fullres,
+            ignore_missing_keys=ignore_missing_keys,
+            key_prefix='',
+            key_suffix=FULLRES_SUFFIX,
+        )
+
+
+# --- core numpy kernels -----------------------------------------------------
+
+def _nearest_indices(n_src: int, n_dst: int) -> np.ndarray:
+    # cv2.INTER_NEAREST mapping: sx = floor(dx * src/dst)
+    idx = np.floor(np.arange(n_dst) * (n_src / n_dst)).astype(np.int64)
+    return np.clip(idx, 0, n_src - 1)
+
+
+def resize_image_nearest(value: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Nearest resize via index gather; exact for any dtype."""
+    h, w = value.shape[:2]
+    if (h, w) == (height, width):
+        return value.copy()
+    yi = _nearest_indices(h, height)
+    xi = _nearest_indices(w, width)
+    return value[yi[:, None], xi[None, :], ...]
+
+
+def resize_image_bilinear(value: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Half-pixel-centered bilinear resize with edge clamping
+    (cv2.INTER_LINEAR semantics)."""
+    h, w = value.shape[:2]
+    if (h, w) == (height, width):
+        return value.copy()
+
+    in_dtype = value.dtype
+    x = np.asarray(value, dtype=np.float32)
+
+    def coords(n_src, n_dst):
+        c = (np.arange(n_dst) + 0.5) * (n_src / n_dst) - 0.5
+        c0 = np.floor(c).astype(np.int64)
+        frac = (c - c0).astype(np.float32)
+        c0c = np.clip(c0, 0, n_src - 1)
+        c1c = np.clip(c0 + 1, 0, n_src - 1)
+        return c0c, c1c, frac
+
+    y0, y1, fy = coords(h, height)
+    x0, x1, fx = coords(w, width)
+
+    fy = fy.reshape(-1, 1, *([1] * (x.ndim - 2)))
+    fx = fx.reshape(1, -1, *([1] * (x.ndim - 2)))
+
+    top = x[y0][:, x0] * (1 - fx) + x[y0][:, x1] * fx
+    bot = x[y1][:, x0] * (1 - fx) + x[y1][:, x1] * fx
+    out = top * (1 - fy) + bot * fy
+
+    if np.issubdtype(in_dtype, np.integer):
+        info = np.iinfo(in_dtype)
+        out = np.clip(np.round(out), info.min, info.max)
+    return out.astype(in_dtype)
+
+
+def resize(
+    sample: SampleType,
+    height: int,
+    width: int,
+    keys_to_ignore: Optional[Iterable[str]] = None,
+) -> SampleType:
+    """Resize all spatial entries; bilinear for `rgb`, nearest otherwise
+    (depth, masks, segmentations, ...) -- reference resize.py:95-161."""
+    keys_to_ignore_list = list(keys_to_ignore or [])
+    keys_to_ignore_list.extend(
+        [k for k in sample if k.endswith(FULLRES_SUFFIX)]
+    )
+
+    for key in _get_relevant_spatial_keys(sample, keys_to_ignore=keys_to_ignore_list):
+        value = sample[key]
+        if 'rgb' == key:
+            sample[key] = resize_image_bilinear(value, height, width)
+        else:
+            sample[key] = resize_image_nearest(value, height, width)
+    return sample
+
+
+def pad(
+    sample: SampleType,
+    padding_top: int,
+    padding_bottom: int,
+    padding_left: int,
+    padding_right: int,
+    padding_mode: str = 'zero',
+    keys_to_ignore: Optional[Iterable[str]] = None,
+) -> SampleType:
+    keys_to_ignore_list = list(keys_to_ignore or [])
+    keys_to_ignore_list.extend(
+        [k for k in sample if k.endswith(FULLRES_SUFFIX)]
+    )
+
+    kwargs_lookup = {
+        'zero': {'mode': 'constant', 'constant_values': 0},
+        'reflect': {'mode': 'reflect'},
+    }
+
+    for key in _get_relevant_spatial_keys(sample, keys_to_ignore_list):
+        value = sample[key]
+        assert value.ndim in (2, 3)    # channels last
+        padding = ((padding_top, padding_bottom),
+                   (padding_left, padding_right))
+        if value.ndim == 3:
+            padding = (*padding, (0, 0))
+        sample[key] = np.pad(value, padding, **kwargs_lookup[padding_mode])
+    return sample
+
+
+class Resize(PreprocessingBase):
+    def __init__(
+        self,
+        height: int,
+        width: int,
+        keys_to_ignore: Optional[Iterable[str]] = None,
+        keep_aspect_ratio: bool = False,
+        padding_mode: str = 'zero',
+    ) -> None:
+        self._height = height
+        self._width = width
+        self._keys_to_ignore = keys_to_ignore
+        self._keep_aspect_ratio = keep_aspect_ratio
+        assert padding_mode in ('zero', 'reflect')
+        self._padding_mode = padding_mode
+
+        super().__init__(
+            fixed_parameters={
+                'keys_to_ignore': self._keys_to_ignore,
+                'keep_aspect_ratio': keep_aspect_ratio,
+                'padding_mode': padding_mode,
+            },
+            multiscale_processing=False,
+        )
+
+    def _preprocess(
+        self, sample: SampleType, **kwargs
+    ) -> Tuple[SampleType, Dict[str, Any]]:
+        orig_height, orig_width = _get_input_shape(sample)
+
+        if not self._keep_aspect_ratio:
+            height, width = self._height, self._width
+            pad_top = pad_bottom = pad_left = pad_right = 0
+            valid_region_slice_y = slice(0, height)
+            valid_region_slice_x = slice(0, width)
+        else:
+            scale = min(self._height / orig_height, self._width / orig_width)
+            height = int(round(scale * orig_height))
+            width = int(round(scale * orig_width))
+            pad_height = self._height - height
+            pad_top = pad_height // 2
+            pad_bottom = pad_height - pad_top
+            pad_width = self._width - width
+            pad_left = pad_width // 2
+            pad_right = pad_width - pad_left
+            valid_region_slice_y = slice(pad_top, pad_top + height)
+            valid_region_slice_x = slice(pad_left, pad_left + width)
+
+        sample = resize(sample, height=height, width=width,
+                        keys_to_ignore=self._keys_to_ignore)
+        sample = pad(sample,
+                     padding_top=pad_top, padding_bottom=pad_bottom,
+                     padding_left=pad_left, padding_right=pad_right,
+                     padding_mode=self._padding_mode,
+                     keys_to_ignore=self._keys_to_ignore)
+
+        return sample, {
+            'old_height': orig_height,
+            'old_width': orig_width,
+            'new_height': self._height,
+            'new_width': self._width,
+            'valid_region_slice_y': valid_region_slice_y,
+            'valid_region_slice_x': valid_region_slice_x,
+        }
+
+
+class RandomResize(PreprocessingBase):
+    def __init__(
+        self,
+        min_scale: float,
+        max_scale: float,
+        keys_to_ignore: Optional[Iterable[str]] = None,
+    ) -> None:
+        if min_scale < 0 or min_scale > max_scale:
+            raise ValueError('Unexpected value for `min_scale`')
+        self._min_scale = min_scale
+        self._max_scale = max_scale
+        self._keys_to_ignore = keys_to_ignore
+        super().__init__(
+            fixed_parameters={
+                'min_scale': self._min_scale,
+                'max_scale': self._max_scale,
+                'keys_to_ignore': self._keys_to_ignore,
+            },
+            multiscale_processing=False,
+        )
+
+    def _preprocess(
+        self, sample: SampleType, **kwargs
+    ) -> Tuple[SampleType, Dict[str, Any]]:
+        h, w = _get_input_shape(sample)
+
+        if self._min_scale == self._max_scale:
+            target_scale = self._min_scale
+        else:
+            target_scale = np.random.uniform(self._min_scale, self._max_scale)
+
+        height = int(round(target_scale * h))
+        width = int(round(target_scale * w))
+
+        return resize(sample, height, width,
+                      keys_to_ignore=self._keys_to_ignore), {
+            'old_height': h,
+            'old_width': w,
+            'new_height': height,
+            'new_width': width,
+            'valid_region_slice_y': slice(0, height),
+            'valid_region_slice_x': slice(0, width),
+        }

@@ -1,0 +1,136 @@
+"""Shared model building blocks: norm/act registries, conv helpers,
+ConvNormAct, SqueezeAndExcitation.
+
+Mirrors reference model/normalization.py:19-36, activation.py:18-36,
+utils.py:17-112, initialization.py:29-81 -- re-designed for NHWC flax
+modules with a threaded compute `dtype` (bf16 on TPU; params stay
+f32). He fan-out initialization matches torch's
+`kaiming_normal_(mode='fan_out', nonlinearity='relu')` default used by
+the reference's he_initialization."""
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+KNOWN_NORMALIZATIONS = ('bn', 'batchnorm', 'ln', 'layernorm')
+KNOWN_ACTIVATIONS = ('relu', 'silu', 'swish')
+
+# torch kaiming_normal_(mode='fan_out', nonlinearity='relu')
+he_fan_out_init = nn.initializers.variance_scaling(
+    2.0, 'fan_out', 'normal')
+
+
+def get_normalization_name(name: Optional[str] = None) -> str:
+    if name is None:
+        name = 'batchnorm'
+    name = name.lower()
+    if name not in KNOWN_NORMALIZATIONS:
+        raise ValueError(f"Unknown normalization: '{name}'")
+    return 'batchnorm' if name in ('bn', 'batchnorm') else 'layernorm'
+
+
+def get_activation(name: Optional[str] = None) -> Callable:
+    if name is None:
+        name = 'relu'
+    name = name.lower()
+    if name not in KNOWN_ACTIVATIONS:
+        raise ValueError(f"Unknown activation: '{name}'")
+    return jax.nn.relu if name == 'relu' else jax.nn.silu
+
+
+class Norm(nn.Module):
+    """Normalization over the channel (last) axis; `train` switches
+    BatchNorm between batch statistics and running averages."""
+    kind: str = 'batchnorm'
+    zero_init_scale: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        kind = get_normalization_name(self.kind)
+        scale_init = (nn.initializers.zeros if self.zero_init_scale
+                      else nn.initializers.ones)
+        if kind == 'batchnorm':
+            return nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, scale_init=scale_init,
+            )(x)
+        return nn.LayerNorm(dtype=self.dtype, scale_init=scale_init)(x)
+
+
+def conv(
+    features: int,
+    kernel_size: int = 3,
+    stride: int = 1,
+    dilation: int = 1,
+    groups: int = 1,
+    use_bias: bool = False,
+    dtype: Any = jnp.float32,
+    padding: Optional[Any] = None,
+    name: Optional[str] = None,
+) -> nn.Conv:
+    """NHWC conv with torch-style symmetric padding and he fan-out init."""
+    if padding is None:
+        pad = kernel_size // 2 + dilation - 1
+        padding = ((pad, pad), (pad, pad))
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel_size, kernel_size),
+        strides=(stride, stride),
+        padding=padding,
+        kernel_dilation=(dilation, dilation),
+        feature_group_count=groups,
+        use_bias=use_bias,
+        dtype=dtype,
+        kernel_init=he_fan_out_init,
+        name=name,
+    )
+
+
+class ConvNormAct(nn.Module):
+    """conv -> norm -> act (reference model/utils.py ConvNormAct);
+    norm/act may be disabled by passing `norm=None` / `act=None`."""
+    features: int
+    kernel_size: int = 1
+    stride: int = 1
+    dilation: int = 1
+    norm: Optional[str] = 'batchnorm'
+    act: Optional[str] = 'relu'
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = conv(self.features, self.kernel_size, self.stride,
+                 self.dilation, use_bias=self.norm is None,
+                 dtype=self.dtype, name='conv')(x)
+        if self.norm is not None:
+            x = Norm(self.norm, dtype=self.dtype, name='norm')(x, train)
+        if self.act is not None:
+            x = get_activation(self.act)(x)
+        return x
+
+
+class SqueezeAndExcitation(nn.Module):
+    """Channel attention via GAP -> 1x1 reduce -> act -> 1x1 expand ->
+    sigmoid (reference model/utils.py:71-95). The GAP + pointwise convs
+    are pure matmuls -- ideal for the MXU; the reference's TensorRT
+    two-stage-pool workaround is unnecessary under XLA."""
+    n_channels: int
+    reduction: int = 16
+    act: str = 'relu'
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n_red = self.n_channels // self.reduction
+        assert n_red > 0
+        w = jnp.mean(x, axis=(1, 2), keepdims=True)
+        w = conv(n_red, 1, use_bias=True, dtype=self.dtype, name='fc1')(w)
+        w = get_activation(self.act)(w)
+        w = conv(self.n_channels, 1, use_bias=True, dtype=self.dtype,
+                 name='fc2')(w)
+        w = jax.nn.sigmoid(w)
+        return x * w

@@ -1,0 +1,251 @@
+"""Model-library contract tests (shapes, skip contracts), modeled on
+tests/test_backbones.py / test_encoders.py / test_context_modules.py /
+test_decoders+postprocessing.py of the reference."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nicr_mtsa_tpu.models import (
+    get_backbone,
+    get_context_module,
+    get_encoder,
+)
+from nicr_mtsa_tpu.models.decoders import (
+    InstanceDecoder,
+    PanopticHelper,
+    SceneClassificationDecoder,
+    SemanticDecoder,
+    SemanticMLPDecoder,
+)
+from nicr_mtsa_tpu.models.upsampling import Upsampling
+
+
+H, W = 96, 128    # small canonical test resolution (divisible by 32)
+
+
+def _init_and_apply(model, *args, train=False, method=None):
+    rngs = {'params': jax.random.PRNGKey(0),
+            'dropout': jax.random.PRNGKey(1)}
+    variables = model.init(rngs, *args, train=train)
+    out = model.apply(variables, *args, train=train,
+                      rngs={'dropout': jax.random.PRNGKey(2)},
+                      mutable=['batch_stats'] if train else False)
+    if train:
+        out, _ = out
+    return out, variables
+
+
+@pytest.mark.parametrize('name,block,channels', [
+    ('resnet18', 'basicblock', 3),
+    ('resnet34', 'nonbottleneck1d', 1),
+    ('resnet50', None, 3),
+    ('resnet18se', 'basicblock', 4),
+    ('resnet34-d16', 'nonbottleneck1d', 3),
+])
+def test_resnet_backbones(name, block, channels):
+    bb = get_backbone(name, resnet_block=block, n_input_channels=channels)
+    x = jnp.zeros((2, H, W, channels))
+    outs, _ = _init_and_apply(bb, x)
+
+    assert len(outs) == 5
+    for out, n_ch, ds in zip(outs, bb.stages_n_channels,
+                             bb.stages_downsampling):
+        assert out.shape == (2, H // ds, W // ds, n_ch), name
+
+
+def test_backbone_train_mode_batchstats():
+    bb = get_backbone('resnet18', resnet_block='basicblock')
+    x = jnp.ones((2, H, W, 3))
+    rngs = {'params': jax.random.PRNGKey(0),
+            'dropout': jax.random.PRNGKey(1)}
+    variables = bb.init(rngs, x, train=True)
+    assert 'batch_stats' in variables
+    outs, updates = bb.apply(
+        variables, x, train=True, mutable=['batch_stats'],
+        rngs={'dropout': jax.random.PRNGKey(2)})
+    assert 'batch_stats' in updates
+
+
+def test_single_encoder_skip_contract():
+    bb = get_backbone('resnet18', resnet_block='basicblock')
+    enc = get_encoder(backbone_rgb=bb)
+    x = {'rgb': jnp.zeros((2, H, W, 3))}
+    (out, skips), _ = _init_and_apply(enc, x)
+
+    assert set(out.keys()) == {'rgb'}
+    assert out['rgb'].shape == (2, H // 32, W // 32, 512)
+    assert set(skips.keys()) == {'4', '8', '16'}
+    for ds, n in zip((4, 8, 16), enc.skips_n_channels):
+        assert skips[str(ds)]['rgb'].shape == (2, H // ds, W // ds, n)
+
+
+def test_fused_encoder():
+    bb_rgb = get_backbone('resnet18', resnet_block='basicblock')
+    bb_depth = get_backbone('resnet18', resnet_block='basicblock',
+                            n_input_channels=1)
+    enc = get_encoder(backbone_rgb=bb_rgb, backbone_depth=bb_depth,
+                      fusion='se-add-uni-rgb')
+    x = {'rgb': jnp.zeros((2, H, W, 3)),
+         'depth': jnp.zeros((2, H, W, 1))}
+    (out, skips), _ = _init_and_apply(enc, x)
+    assert set(out.keys()) == {'rgb', 'depth'}
+    assert out['rgb'].shape == (2, H // 32, W // 32, 512)
+    assert set(skips['8'].keys()) == {'rgb', 'depth'}
+
+
+def test_encoder_d16():
+    bb = get_backbone('resnet18-d16', resnet_block='basicblock')
+    enc = get_encoder(backbone_rgb=bb)
+    x = {'rgb': jnp.zeros((2, H, W, 3))}
+    (out, skips), _ = _init_and_apply(enc, x)
+    assert out['rgb'].shape == (2, H // 16, W // 16, 512)
+    # skip at ds 16 must come from the FIRST stage with ds 16 (stage 3)
+    assert skips['16']['rgb'].shape == (2, H // 16, W // 16, 256)
+
+
+@pytest.mark.parametrize('name', ['none', 'ppm', 'appm'])
+def test_context_modules(name):
+    cm = get_context_module(name, n_channels_in=512, n_channels_out=128,
+                            input_size=(H // 32, W // 32))
+    x = jnp.zeros((2, H // 32, W // 32, 512))
+    (out, branches), _ = _init_and_apply(cm, x)
+    assert out.shape == (2, H // 32, W // 32, 128)
+    if name != 'none':
+        assert len(branches) == 4
+        assert branches[0].shape[1:3] == (1, 1)    # GAP branch
+
+
+def test_context_module_appm_other_resolution():
+    cm = get_context_module('appm', n_channels_in=64, n_channels_out=64,
+                            input_size=(H // 32, W // 32))
+    rngs = {'params': jax.random.PRNGKey(0)}
+    x_train = jnp.zeros((1, H // 32, W // 32, 64))
+    variables = cm.init(rngs, x_train, train=False)
+    # double eval resolution -> bins scale, module still applies
+    x_eval = jnp.zeros((1, 2 * H // 32, 2 * W // 32, 64))
+    out, branches = cm.apply(variables, x_eval, train=False)
+    assert out.shape == (1, 2 * H // 32, 2 * W // 32, 64)
+
+
+@pytest.mark.parametrize('mode', ['nearest', 'bilinear', 'learned-3x3',
+                                  'learned-3x3-zeropad'])
+def test_upsampling(mode):
+    up = Upsampling(mode=mode, n_channels=8)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 8, 10, 8)),
+                    dtype=jnp.float32)
+    variables = up.init(jax.random.PRNGKey(0), x)
+    y = up.apply(variables, x)
+    assert y.shape == (1, 16, 20, 8)
+    if 'learned' in mode:
+        # initialized to mimic bilinear: interior must match bilinear x2
+        y_bil = Upsampling(mode='bilinear', n_channels=8).apply({}, x)
+        np.testing.assert_allclose(np.asarray(y[:, 2:-2, 2:-2]),
+                                   np.asarray(y_bil[:, 2:-2, 2:-2]),
+                                   atol=1e-5)
+
+
+def _decoder_inputs(n_ctx=128):
+    rng = np.random.default_rng(7)
+
+    def r(*shape):
+        return jnp.asarray(rng.normal(size=shape), dtype=jnp.float32)
+
+    enc_skips = {
+        '16': {'rgb': r(2, H // 16, W // 16, 256)},
+        '8': {'rgb': r(2, H // 8, W // 8, 128)},
+        '4': {'rgb': r(2, H // 4, W // 4, 64)},
+    }
+    ctx = r(2, H // 32, W // 32, n_ctx)
+    gap = r(2, 1, 1, n_ctx)
+    return (ctx, (gap,)), enc_skips
+
+
+def test_semantic_decoder_train_and_eval():
+    dec = SemanticDecoder(
+        n_channels_in=128, downsampling_in=32,
+        n_channels=(256, 128, 64), downsamplings=(16, 8, 4),
+        block='nonbottleneck1d', n_blocks=1,
+        fusion='add-rgb', fusion_n_channels=(256, 128, 64),
+        fusion_downsamplings=(16, 8, 4), n_classes=20,
+    )
+    x, skips = _decoder_inputs()
+
+    (out, side), _ = _init_and_apply(dec, x, skips, train=True)
+    assert out.shape == (2, H, W, 20)
+    # side outputs at downscales 32, 16, 8 (before each upsample)
+    assert dec.side_output_downscales == (32, 16, 8)
+    assert len(side) == 3
+    assert side[0].shape == (2, H // 32, W // 32, 20)
+    assert side[1].shape == (2, H // 16, W // 16, 20)
+    assert side[2].shape == (2, H // 8, W // 8, 20)
+
+    (out_e, side_e), _ = _init_and_apply(dec, x, skips, train=False)
+    assert out_e.shape == (2, H, W, 20)
+    assert side_e == ()
+
+
+def test_semantic_mlp_decoder():
+    dec = SemanticMLPDecoder(
+        n_channels_in=128, downsampling_in=32,
+        n_channels=(128, 96, 64, 48),
+        fusion='select-rgb', fusion_n_channels=(256, 128, 64),
+        fusion_downsamplings=(16, 8, 4), n_classes=20,
+    )
+    x, skips = _decoder_inputs()
+    (out, side), _ = _init_and_apply(dec, x, skips, train=True)
+    assert out.shape == (2, H, W, 20)
+    assert side == ()
+
+
+def test_instance_decoder_with_orientation():
+    dec = InstanceDecoder(
+        n_channels_in=128, downsampling_in=32,
+        n_channels=(256, 128, 64), downsamplings=(16, 8, 4),
+        block='nonbottleneck1d', n_blocks=1,
+        fusion='add-rgb', fusion_n_channels=(256, 128, 64),
+        fusion_downsamplings=(16, 8, 4), with_orientation=True,
+    )
+    x, skips = _decoder_inputs()
+    (out, side), _ = _init_and_apply(dec, x, skips, train=False)
+    center, offset, orientation = out
+    assert center.shape == (2, H, W, 1)
+    assert offset.shape == (2, H, W, 2)
+    assert orientation.shape == (2, H, W, 2)
+    # center after sigmoid in (0, 1); orientation unit length
+    assert float(jnp.min(center)) >= 0.0 and float(jnp.max(center)) <= 1.0
+    norms = np.asarray(jnp.linalg.norm(orientation, axis=-1))
+    # unit length up to the epsilon smoothing (near-zero raw vectors
+    # normalize to shorter vectors by construction)
+    assert (norms <= 1.0 + 1e-4).all()
+    assert np.median(norms) > 0.99
+
+
+def test_scene_decoder():
+    dec = SceneClassificationDecoder(n_channels_in=128, n_classes=7)
+    x, skips = _decoder_inputs()
+    (out, side), _ = _init_and_apply(dec, x, skips, train=False)
+    assert out.shape == (2, 7)
+
+
+def test_panoptic_helper():
+    sem = SemanticDecoder(
+        n_channels_in=128, downsampling_in=32,
+        n_channels=(128, 64, 32), downsamplings=(16, 8, 4),
+        block='basicblock', n_blocks=1,
+        fusion='add-rgb', fusion_n_channels=(256, 128, 64),
+        fusion_downsamplings=(16, 8, 4), n_classes=20,
+    )
+    inst = InstanceDecoder(
+        n_channels_in=128, downsampling_in=32,
+        n_channels=(128, 64, 32), downsamplings=(16, 8, 4),
+        block='basicblock', n_blocks=1,
+        fusion='add-rgb', fusion_n_channels=(256, 128, 64),
+        fusion_downsamplings=(16, 8, 4), with_orientation=True,
+    )
+    helper = PanopticHelper(semantic_decoder=sem, instance_decoder=inst)
+    x, skips = _decoder_inputs()
+    ((s_out, i_out), (s_side, i_side)), _ = \
+        _init_and_apply(helper, x, skips, train=False)
+    assert s_out.shape == (2, H, W, 20)
+    assert len(i_out) == 3

@@ -75,10 +75,12 @@ class PanopticTargetGenerator(PreprocessingBase):
             CollateIgnoredDict(panoptic_targets_id_dicts)
 
         # fixed-size sorted segment table for the sort-free device PQ;
-        # padded with the largest uint32 so padding slots never match ids
+        # padded at the end with int32 max so the table stays sorted
+        # (contract of ops/segments.py ids_to_slots)
+        from ...ops.segments import SEGMENT_TABLE_PAD
         ids = np.unique(panoptic_targets).astype(np.int64)
-        table = np.full((self._segment_table_size,), np.int64(-1),
-                        dtype=np.int64)
+        table = np.full((self._segment_table_size,),
+                        np.int64(SEGMENT_TABLE_PAD), dtype=np.int64)
         n = min(len(ids), self._segment_table_size)
         table[:n] = ids[:n]
         sample['panoptic_segment_table'] = table

@@ -1,0 +1,148 @@
+"""Offset-vote pixel grouping: assign each foreground pixel to its
+nearest predicted instance center.
+
+Replaces the reference's per-sample python loop with broadcast
+distance + argmin (model/postprocessing/instance.py:171-268) by a
+fully-batched fixed-shape computation. The squared distance
+||p + offset - c||^2 expands to |loc|^2 - 2 loc.c + |c|^2; the cross
+term is a (HW, 2) x (2, K) matmul that XLA places on the MXU, and the
+argmin over K fuses with it. Tie-breaking (first minimal center index)
+matches torch.min.
+
+Outputs are fixed-shape: the per-instance meta dicts of the reference
+become padded arrays (areas, scores, centers) + the validity mask.
+"""
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .nms import Centers, get_instance_centers
+
+
+class InstanceSegmentation(NamedTuple):
+    segmentation: jnp.ndarray    # (B, H, W) int32: 0 = no instance, 1..K
+    centers: Centers             # the center table used
+    areas: jnp.ndarray           # (B, K+1) int32 pixel counts per id
+    scores: jnp.ndarray          # (B, K) heatmap score at each center
+
+
+def denormalize_offsets(offset, height: int, width: int):
+    """Undo the [0,1] normalization of offsets (reference
+    instance.py:360-367): channel 0 (y) * H, channel 1 (x) * W."""
+    return offset * jnp.asarray([height, width], dtype=offset.dtype)
+
+
+def group_pixels(
+    centers_yx: jnp.ndarray,      # (B, K, 2) int32
+    centers_valid: jnp.ndarray,   # (B, K) bool
+    offset: jnp.ndarray,          # (B, H, W, 2) float, UNnormalized (pixels)
+    foreground_mask: jnp.ndarray,  # (B, H, W) bool
+    offset_distance_threshold=None,
+) -> jnp.ndarray:
+    """Return (B, H, W) int32 instance segmentation (ids 1..K, 0=bg)."""
+    B, H, W = offset.shape[0], offset.shape[1], offset.shape[2]
+    K = centers_yx.shape[1]
+    if foreground_mask.ndim == 4:
+        foreground_mask = foreground_mask[..., 0]
+
+    yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    loc = jnp.stack([yy, xx], axis=-1)[None] + offset.astype(jnp.float32)
+    loc = loc.reshape(B, H * W, 2)
+
+    c = centers_yx.astype(jnp.float32)                      # (B, K, 2)
+    # ||loc - c||^2 = |loc|^2 - 2 loc.c + |c|^2 ; |loc|^2 is constant
+    # per pixel and does not affect the argmin, but is needed for the
+    # optional distance threshold.
+    cross = jnp.einsum('bpi,bki->bpk', loc, c,
+                       preferred_element_type=jnp.float32)  # MXU
+    c2 = jnp.sum(c * c, axis=-1)[:, None, :]                # (B, 1, K)
+    partial_d2 = c2 - 2.0 * cross                           # (B, HW, K)
+    partial_d2 = jnp.where(centers_valid[:, None, :], partial_d2, jnp.inf)
+
+    best = jnp.argmin(partial_d2, axis=-1)                  # (B, HW)
+    instance_id = (best + 1).astype(jnp.int32)
+
+    fg = foreground_mask.reshape(B, H * W)
+    any_valid = jnp.any(centers_valid, axis=1)[:, None]
+    keep = fg & any_valid
+
+    if offset_distance_threshold is not None:
+        p2 = jnp.sum(loc * loc, axis=-1)                    # (B, HW)
+        min_d2 = jnp.take_along_axis(
+            partial_d2, best[..., None], axis=-1)[..., 0] + p2
+        keep &= min_d2 <= float(offset_distance_threshold) ** 2
+
+    seg = jnp.where(keep, instance_id, 0)
+    return seg.reshape(B, H, W)
+
+
+def instance_areas(segmentation: jnp.ndarray, top_k: int) -> jnp.ndarray:
+    """(B, H, W) -> (B, K+1) pixel counts per instance id (0 = bg).
+    One-hot matmul instead of bincount (TPU-friendly)."""
+    B = segmentation.shape[0]
+    flat = segmentation.reshape(B, -1)
+    onehot = jax.nn.one_hot(flat, top_k + 1, dtype=jnp.float32)
+    return jnp.sum(onehot, axis=1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=(
+    'threshold', 'kernel_size', 'top_k', 'heatmap_apply_foreground_mask'))
+def get_instance_segmentation(
+    center_heatmap: jnp.ndarray,      # (B, H, W[, 1])
+    center_offset: jnp.ndarray,       # (B, H, W, 2), unnormalized (pixels)
+    foreground_mask: jnp.ndarray,     # (B, H, W[, 1]) bool
+    threshold: float = 0.1,
+    kernel_size: int = 3,
+    top_k: int = 64,
+    offset_distance_threshold=None,
+    heatmap_apply_foreground_mask: bool = False,
+) -> InstanceSegmentation:
+    """Fused center NMS + pixel grouping + per-instance meta
+    (reference _get_instance_segmentation, instance.py:171-268)."""
+    if center_heatmap.ndim == 4:
+        center_heatmap = center_heatmap[..., 0]
+
+    centers = get_instance_centers(
+        center_heatmap, foreground_mask,
+        threshold=threshold, kernel_size=kernel_size, top_k=top_k,
+        use_foreground_mask=heatmap_apply_foreground_mask,
+    )
+    seg = group_pixels(centers.yx, centers.valid, center_offset,
+                       foreground_mask, offset_distance_threshold)
+    areas = instance_areas(seg, top_k)
+    return InstanceSegmentation(
+        segmentation=seg, centers=centers, areas=areas,
+        scores=centers.score,
+    )
+
+
+def instance_orientations(
+    orientation: jnp.ndarray,          # (B, H, W, 2) biternion (cos, sin)
+    segmentation: jnp.ndarray,         # (B, H, W) int ids 0..K
+    foreground_mask,                   # (B, H, W) bool or None
+    top_k: int = 64,
+) -> jnp.ndarray:
+    """Per-instance average orientation angle (reference
+    _get_instance_orientation, instance.py:270-319): sum the biternion
+    channels over each instance's (masked) pixels, then atan2.
+
+    Returns (B, K+1) float32 angles in (-pi, pi]; index = instance id
+    (0 slot is the background, meaningless). Padded ids give angle of
+    the zero vector (0.0) -- mask with areas > 0 downstream."""
+    B = segmentation.shape[0]
+    K1 = top_k + 1
+    flat_seg = segmentation.reshape(B, -1)
+    flat_ori = orientation.reshape(B, -1, 2).astype(jnp.float32)
+    if foreground_mask is not None:
+        if foreground_mask.ndim == 4:
+            foreground_mask = foreground_mask[..., 0]
+        fg = foreground_mask.reshape(B, -1)
+        flat_seg = jnp.where(fg, flat_seg, 0)
+
+    onehot = jax.nn.one_hot(flat_seg, K1, dtype=jnp.float32)  # (B, P, K+1)
+    sums = jnp.einsum('bpk,bpc->bkc', onehot, flat_ori,
+                      preferred_element_type=jnp.float32)     # (B, K+1, 2)
+    return jnp.arctan2(sums[..., 1], sums[..., 0])

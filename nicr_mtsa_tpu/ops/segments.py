@@ -1,0 +1,67 @@
+"""Fixed-shape segment-table utilities for on-device panoptic metrics.
+
+The reference's PQ implementation builds python dicts of segment areas
+and intersection areas per image and parallelizes the loops with a
+spawn multiprocessing pool (metric/pq.py:30-296). Here the unbounded
+panoptic-id space is compressed per image into a bounded sorted
+segment table; pixel ids map to table slots by comparison against the
+table, and the (S_gt x S_pred) intersection-area matrix is a one-hot
+matmul that runs on the MXU. Everything is static-shape and
+vmap/jit-friendly -- no sort-free path is needed on the prediction
+side if the table is precomputed host-side (preprocessing stores
+`panoptic_segment_table` for GT).
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+SEGMENT_TABLE_PAD = 2 ** 31 - 1    # keeps tables sorted ascending
+_PAD = jnp.int32(SEGMENT_TABLE_PAD)
+
+
+@partial(jax.jit, static_argnames=('size',))
+def unique_table(ids: jnp.ndarray, size: int) -> jnp.ndarray:
+    """(..., P) int -> (..., size) sorted unique values, padded at the
+    END with SEGMENT_TABLE_PAD (int32 max) so the table STAYS sorted
+    (required by `ids_to_slots`' searchsorted).
+
+    Batched (vmap-free) replacement for jnp.unique(size=...): two
+    sorts -- mark first occurrences in the sorted stream, push
+    duplicates to the pad value, re-sort, truncate."""
+    flat = ids.reshape(*ids.shape[:-1], -1).astype(jnp.int32)
+    s = jnp.sort(flat, axis=-1)
+    first = jnp.concatenate(
+        [jnp.ones((*s.shape[:-1], 1), dtype=bool),
+         s[..., 1:] != s[..., :-1]], axis=-1)
+    dedup = jnp.where(first, s, _PAD)
+    return jnp.sort(dedup, axis=-1)[..., :size]
+
+
+def ids_to_slots(ids: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+    """Map pixel ids (B, P) to slots in a sorted table (B, S) via
+    searchsorted; ids not in the table (incl. -1 padding) map to S."""
+    S = table.shape[-1]
+    # searchsorted over the batch: vmap keeps it a single fused kernel
+    slot = jax.vmap(
+        lambda t, i: jnp.searchsorted(t, i, side='left')
+    )(table, ids)
+    slot = jnp.clip(slot, 0, S - 1)
+    found = jnp.take_along_axis(table, slot, axis=-1) == ids
+    return jnp.where(found, slot, S)
+
+
+def intersection_matrix(
+    gt_slots: jnp.ndarray,    # (B, P) in [0, S_gt]
+    pred_slots: jnp.ndarray,  # (B, P) in [0, S_pred]
+    n_gt: int,
+    n_pred: int,
+) -> jnp.ndarray:
+    """(B, S_gt+1, S_pred+1) float32 pixel counts per (gt, pred) segment
+    pair; the last row/column holds out-of-table pixels. One-hot bf16
+    matmul with f32 accumulation (exact for counts < 2^24)."""
+    oh_gt = jax.nn.one_hot(gt_slots, n_gt + 1, dtype=jnp.bfloat16)
+    oh_pred = jax.nn.one_hot(pred_slots, n_pred + 1, dtype=jnp.bfloat16)
+    return jnp.einsum('bpg,bpq->bgq', oh_gt, oh_pred,
+                      preferred_element_type=jnp.float32)

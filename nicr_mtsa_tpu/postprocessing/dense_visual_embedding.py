@@ -1,0 +1,90 @@
+"""Dense-visual-embedding postprocessing (reference
+model/postprocessing/dense_visual_embedding.py:19-167): L2-normalize
+the embedding map; cosine-similarity semantic retrieval against text
+and/or visual-mean class embeddings (a (HW, D) x (D, C) MXU matmul
+instead of the reference's 1x1 conv); softmax/argmax + fullres."""
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..data.preprocessing.resize import get_fullres_key
+from .base import DensePostprocessingBase
+
+
+class DenseVisualEmbeddingPostprocessing(DensePostprocessingBase):
+    def __init__(
+        self,
+        with_text_embeddings_per_class: bool = False,
+        text_embeddings_per_class=None,
+        with_mean_visual_embedding_per_class: bool = False,
+        mean_visual_embedding_per_class=None,
+        **kwargs,
+    ) -> None:
+        self.with_semantic_text_embeddings = with_text_embeddings_per_class
+        self._semantic_text_embeddings = None
+        if with_text_embeddings_per_class:
+            assert text_embeddings_per_class is not None
+            self._semantic_text_embeddings = jnp.asarray(
+                text_embeddings_per_class)        # (C, D)
+
+        self.with_mean_visual_embedding_per_class = \
+            with_mean_visual_embedding_per_class
+        self._mean_visual_embedding_per_class = None
+        if with_mean_visual_embedding_per_class:
+            assert mean_visual_embedding_per_class is not None
+            self._mean_visual_embedding_per_class = jnp.asarray(
+                mean_visual_embedding_per_class)  # (C, D)
+
+    def _postprocess_training(self, data, batch):
+        output, side_outputs = data
+        return {'dense_visual_embedding_output': output,
+                'dense_visual_embedding_side_outputs': side_outputs}
+
+    def _add_semantic_results(self, output, weight, crop_slices,
+                              resize_shape, r_dict, prefix):
+        # cosine similarity = dot product of normalized embeddings
+        logits = jnp.einsum('bhwd,cd->bhwc', output, weight,
+                            preferred_element_type=jnp.float32)
+        pred = jax.nn.softmax(logits, axis=-1)
+        r_dict.update({
+            f'{prefix}_output': logits,
+            f'{prefix}_softmax_scores': pred,
+            f'{prefix}_score': jnp.max(pred, axis=-1),
+            f'{prefix}_idx': jnp.argmax(pred, axis=-1).astype(jnp.int32),
+        })
+
+        logits_fullres = self._crop_to_valid_region_and_resize_prediction(
+            logits, crop_slices, resize_shape, mode='bilinear')
+        pred_fullres = jax.nn.softmax(logits_fullres, axis=-1)
+        r_dict.update({
+            get_fullres_key(f'{prefix}_output'): logits_fullres,
+            get_fullres_key(f'{prefix}_softmax_scores'): pred_fullres,
+            get_fullres_key(f'{prefix}_score'):
+                jnp.max(pred_fullres, axis=-1),
+            get_fullres_key(f'{prefix}_idx'):
+                jnp.argmax(pred_fullres, axis=-1).astype(jnp.int32),
+        })
+        return r_dict
+
+    def _postprocess_inference(self, data, batch):
+        output, side_outputs = data
+        r_dict = {'dense_visual_embedding_output': output,
+                  'dense_visual_embedding_side_outputs': side_outputs}
+
+        norm = jnp.linalg.norm(output, axis=-1, keepdims=True)
+        output = output / jnp.maximum(norm, 1e-12)
+
+        crop_slices, resize_shape = self._fullres_args(batch, 'semantic')
+
+        if self.with_semantic_text_embeddings:
+            r_dict = self._add_semantic_results(
+                output, self._semantic_text_embeddings,
+                crop_slices, resize_shape, r_dict,
+                'dense_visual_embedding_text_based_semantic')
+        if self.with_mean_visual_embedding_per_class:
+            r_dict = self._add_semantic_results(
+                output, self._mean_visual_embedding_per_class,
+                crop_slices, resize_shape, r_dict,
+                'dense_visual_embedding_visual_mean_based_semantic')
+        return r_dict

@@ -1,0 +1,46 @@
+"""Semantic postprocessing (reference
+model/postprocessing/semantic.py:17-82): softmax scores + argmax, plus
+full-resolution variants computed from bilinearly-resized logits."""
+import jax
+import jax.numpy as jnp
+
+from ..data.preprocessing.resize import get_fullres_key
+from .base import DensePostprocessingBase
+
+
+class SemanticPostprocessing(DensePostprocessingBase):
+    def __init__(self, **kwargs) -> None:
+        pass
+
+    def _postprocess_training(self, data, batch):
+        output, side_outputs = data
+        return {'semantic_output': output,
+                'semantic_side_outputs': side_outputs}
+
+    def _postprocess_inference(self, data, batch):
+        output, side_outputs = data    # (B, H, W, C)
+
+        r_dict = {'semantic_output': output,
+                  'semantic_side_outputs': side_outputs}
+
+        pred = jax.nn.softmax(output, axis=-1)
+        r_dict.update({
+            'semantic_softmax_scores': pred,
+            'semantic_segmentation_score': jnp.max(pred, axis=-1),
+            'semantic_segmentation_idx':
+                jnp.argmax(pred, axis=-1).astype(jnp.int32),
+        })
+
+        crop_slices, resize_shape = self._fullres_args(batch, 'semantic')
+        output_fullres = self._crop_to_valid_region_and_resize_prediction(
+            output, crop_slices, resize_shape, mode='bilinear')
+        pred_fullres = jax.nn.softmax(output_fullres, axis=-1)
+        r_dict.update({
+            get_fullres_key('semantic_output'): output_fullres,
+            get_fullres_key('semantic_softmax_scores'): pred_fullres,
+            get_fullres_key('semantic_segmentation_score'):
+                jnp.max(pred_fullres, axis=-1),
+            get_fullres_key('semantic_segmentation_idx'):
+                jnp.argmax(pred_fullres, axis=-1).astype(jnp.int32),
+        })
+        return r_dict

@@ -1,0 +1,196 @@
+"""Unit tests for the jittable postprocessing kernels against numpy /
+reference-semantics golden implementations."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nicr_mtsa_tpu.ops.grouping import (
+    denormalize_offsets,
+    get_instance_segmentation,
+    group_pixels,
+    instance_orientations,
+)
+from nicr_mtsa_tpu.ops.merge import deeplab_merge
+from nicr_mtsa_tpu.ops.merge_np import deeplab_merge_semantic_and_instance_np
+from nicr_mtsa_tpu.ops.nms import get_instance_centers, nms_keep_mask
+from nicr_mtsa_tpu.ops.segments import (
+    SEGMENT_TABLE_PAD,
+    ids_to_slots,
+    intersection_matrix,
+    unique_table,
+)
+
+
+def test_nms_finds_isolated_peaks():
+    hm = np.zeros((1, 32, 32), np.float32)
+    hm[0, 10, 10] = 0.9
+    hm[0, 20, 25] = 0.8
+    hm[0, 5, 5] = 0.05          # below threshold
+    centers = get_instance_centers(jnp.asarray(hm), threshold=0.1,
+                                   kernel_size=3, top_k=8)
+    valid = np.asarray(centers.valid[0])
+    yx = np.asarray(centers.yx[0])
+    assert valid.sum() == 2
+    assert {tuple(p) for p in yx[valid]} == {(10, 10), (20, 25)}
+    # scores sorted descending
+    assert centers.score[0, 0] == pytest.approx(0.9)
+    assert centers.score[0, 1] == pytest.approx(0.8)
+
+
+def test_nms_tie_breaking_first_index_wins():
+    hm = np.zeros((1, 16, 16), np.float32)
+    # two adjacent equal maxima inside one 3x3 window: the first in
+    # row-major scan order survives
+    hm[0, 8, 8] = 0.5
+    hm[0, 8, 9] = 0.5
+    keep = np.asarray(nms_keep_mask(jnp.asarray(hm), 0.1, 3))
+    assert keep[0, 8, 8]
+    assert not keep[0, 8, 9]
+
+    # vertical tie
+    hm2 = np.zeros((1, 16, 16), np.float32)
+    hm2[0, 4, 3] = 0.7
+    hm2[0, 5, 3] = 0.7
+    keep2 = np.asarray(nms_keep_mask(jnp.asarray(hm2), 0.1, 3))
+    assert keep2[0, 4, 3] and not keep2[0, 5, 3]
+
+
+def test_nms_border_excluded():
+    hm = np.zeros((1, 16, 16), np.float32)
+    hm[0, 0, 5] = 0.9    # on the border -> excluded for k=3
+    keep = np.asarray(nms_keep_mask(jnp.asarray(hm), 0.1, 3))
+    assert not keep.any()
+
+
+def test_grouping_recovers_rectangles():
+    # two rectangles with exact offsets to their centers
+    H, W = 40, 60
+    seg_gt = np.zeros((1, H, W), np.int32)
+    offset = np.zeros((1, H, W, 2), np.float32)
+    hm = np.zeros((1, H, W), np.float32)
+    rects = [((5, 5), (15, 20)), ((25, 30), (35, 50))]
+    centers = []
+    for i, ((y0, x0), (y1, x1)) in enumerate(rects, start=1):
+        cy, cx = (y0 + y1 - 1) // 2, (x0 + x1 - 1) // 2
+        centers.append((cy, cx))
+        seg_gt[0, y0:y1, x0:x1] = i
+        yy, xx = np.meshgrid(np.arange(y0, y1), np.arange(x0, x1),
+                             indexing='ij')
+        offset[0, y0:y1, x0:x1, 0] = cy - yy
+        offset[0, y0:y1, x0:x1, 1] = cx - xx
+        hm[0, cy, cx] = 1.0
+    fg = seg_gt > 0
+
+    result = get_instance_segmentation(
+        jnp.asarray(hm), jnp.asarray(offset), jnp.asarray(fg),
+        threshold=0.1, kernel_size=3, top_k=8)
+    seg = np.asarray(result.segmentation[0])
+
+    # ids may be permuted (sorted by score/top-k order); compare as sets
+    assert (seg > 0).sum() == (seg_gt > 0).sum()
+    for i, (cy, cx) in enumerate(centers, start=1):
+        pred_id = seg[cy, cx]
+        assert pred_id > 0
+        np.testing.assert_array_equal(seg == pred_id, seg_gt[0] == i)
+
+    # areas consistent
+    areas = np.asarray(result.areas[0])
+    for i, ((y0, x0), (y1, x1)) in enumerate(rects, start=1):
+        cy, cx = centers[i - 1]
+        pred_id = seg[cy, cx]
+        assert areas[pred_id] == (y1 - y0) * (x1 - x0)
+
+
+def test_grouping_distance_threshold():
+    H, W = 20, 20
+    hm = np.zeros((1, H, W), np.float32)
+    hm[0, 10, 10] = 1.0
+    offset = np.zeros((1, H, W, 2), np.float32)
+    fg = np.ones((1, H, W), bool)
+    seg = group_pixels(
+        jnp.asarray([[[10, 10]]], dtype=jnp.int32),
+        jnp.asarray([[True]]),
+        jnp.asarray(offset), jnp.asarray(fg),
+        offset_distance_threshold=3)
+    seg = np.asarray(seg[0])
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing='ij')
+    dist = np.sqrt((yy - 10.0) ** 2 + (xx - 10.0) ** 2)
+    np.testing.assert_array_equal(seg > 0, dist <= 3)
+
+
+def test_denormalize_offsets():
+    off = np.full((1, 4, 8, 2), 0.5, np.float32)
+    out = np.asarray(denormalize_offsets(jnp.asarray(off), 4, 8))
+    assert (out[..., 0] == 2.0).all()
+    assert (out[..., 1] == 4.0).all()
+
+
+def test_instance_orientations():
+    seg = np.zeros((1, 10, 10), np.int32)
+    seg[0, :5] = 1
+    seg[0, 5:] = 2
+    ori = np.zeros((1, 10, 10, 2), np.float32)
+    ori[0, :5] = [np.cos(0.5), np.sin(0.5)]
+    ori[0, 5:] = [np.cos(2.5), np.sin(2.5)]
+    angles = np.asarray(instance_orientations(
+        jnp.asarray(ori), jnp.asarray(seg), None, top_k=4))
+    assert angles[0, 1] == pytest.approx(0.5, abs=1e-5)
+    assert angles[0, 2] == pytest.approx(2.5, abs=1e-5)
+
+
+@pytest.mark.parametrize('seed', [0, 1, 2])
+def test_deeplab_merge_matches_numpy_reference(seed):
+    rng = np.random.default_rng(seed)
+    H, W, K, C = 30, 40, 8, 9
+    thing_ids = (1, 2, 3)
+    sem = rng.integers(0, C, (2, H, W)).astype(np.uint8)
+    ins = rng.integers(0, K + 1, (2, H, W)).astype(np.uint16)
+    fg = rng.random((2, H, W)) > 0.3
+
+    thing_table = np.array([c in thing_ids for c in range(C)])
+    M = 1 << 16
+
+    result = deeplab_merge(
+        jnp.asarray(sem.astype(np.int32)),
+        jnp.asarray(ins.astype(np.int32)),
+        jnp.asarray(fg),
+        jnp.asarray(thing_table),
+        max_instances_per_category=M,
+        top_k=K, n_classes_with_void=C)
+
+    for b in range(2):
+        expected, id_dict = deeplab_merge_semantic_and_instance_np(
+            sem[b], ins[b], fg[b].astype(np.uint8), M, thing_ids, 0)
+        np.testing.assert_array_equal(
+            np.asarray(result.panoptic[b]), expected.astype(np.int64))
+        # id table matches the reference id dict (pan id -> raw ins id)
+        table = np.asarray(result.panoptic_id_table[b])
+        got = {int(table[i]): i for i in range(1, K + 1) if table[i] != 0}
+        assert got == id_dict
+
+
+def test_unique_table_and_slots():
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, 50, (2, 200)).astype(np.int32) * 1000
+    table = np.asarray(unique_table(jnp.asarray(ids), size=64))
+    for b in range(2):
+        expected = np.unique(ids[b])
+        valid = table[b][table[b] != SEGMENT_TABLE_PAD]
+        np.testing.assert_array_equal(valid, expected)
+
+    slots = np.asarray(ids_to_slots(jnp.asarray(ids), jnp.asarray(table)))
+    for b in range(2):
+        for p in range(ids.shape[1]):
+            assert table[b][slots[b, p]] == ids[b, p]
+
+
+def test_intersection_matrix():
+    rng = np.random.default_rng(4)
+    gt = rng.integers(0, 5, (1, 300))
+    pred = rng.integers(0, 7, (1, 300))
+    m = np.asarray(intersection_matrix(jnp.asarray(gt), jnp.asarray(pred),
+                                       n_gt=5, n_pred=7))
+    brute = np.zeros((6, 8))
+    for g, p in zip(gt[0], pred[0]):
+        brute[g, p] += 1
+    np.testing.assert_array_equal(m[0], brute)

@@ -323,9 +323,10 @@ def test_panoptic_target_generator():
     assert ids[2 * M + 1] == 2
     assert ids[3 * M + 1] == 4
 
-    # segment table: sorted unique ids, -1 padded
+    # segment table: sorted unique ids, int32-max padded
+    from nicr_mtsa_tpu.ops.segments import SEGMENT_TABLE_PAD
     table = sample['panoptic_segment_table']
-    valid = table[table >= 0]
+    valid = table[table != SEGMENT_TABLE_PAD]
     np.testing.assert_array_equal(valid, np.unique(pan))
 
 

@@ -1,0 +1,130 @@
+"""End-to-end panoptic inference benchmark (the BASELINE.json north
+star): uint8 RGB-D frames -> on-device normalize -> EMSANet-style
+forward (bf16) -> center NMS -> offset grouping -> panoptic merge,
+all fused into one jit program, measured in frames/s on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline compares against the driver target of 5000 frames/s on a
+v5e-8, i.e. 625 frames/s/chip.
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--quick', action='store_true',
+                        help='tiny model + few iters (smoke test)')
+    parser.add_argument('--batch-size', type=int, default=0,
+                        help='0 = sweep {8, 16, 32} and report best')
+    parser.add_argument('--iters', type=int, default=20)
+    parser.add_argument('--cpu', action='store_true')
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.cpu:
+        jax.config.update('jax_platforms', 'cpu')
+
+    from nicr_mtsa_tpu.models.multi_task import (
+        MultiTaskModelConfig, build_model,
+    )
+    from nicr_mtsa_tpu.pipeline import PanopticInferencePipeline
+    from nicr_mtsa_tpu.postprocessing import (
+        InstancePostprocessing, PanopticPostprocessing,
+        SemanticPostprocessing,
+    )
+
+    H, W = (128, 160) if args.quick else (480, 640)
+    n_classes = 40                        # NYUv2-40, without void
+    is_thing = tuple(i < 8 for i in range(n_classes))   # 8 thing classes
+
+    config = MultiTaskModelConfig(
+        tasks=('semantic', 'instance', 'orientation', 'scene'),
+        backbone_rgb='resnet18' if args.quick else 'resnet34',
+        backbone_depth='resnet18' if args.quick else 'resnet34',
+        resnet_block='basicblock' if args.quick else 'nonbottleneck1d',
+        context_n_channels=128 if args.quick else 512,
+        decoder_n_channels=(64, 48, 32) if args.quick else (512, 256, 128),
+        decoder_n_blocks=1 if args.quick else 3,
+        input_size=(H, W),
+        semantic_n_classes=n_classes,
+        scene_n_classes=10,
+        upsampling='learned-3x3-zeropad',
+        prediction_upsampling='learned-3x3-zeropad',
+        dtype=jnp.bfloat16,
+    )
+    model = build_model(config)
+
+    post = PanopticPostprocessing(
+        semantic_postprocessing=SemanticPostprocessing(),
+        instance_postprocessing=InstancePostprocessing(
+            heatmap_threshold=0.1, heatmap_nms_kernel_size=3,
+            top_k_instances=64),
+        semantic_classes_is_thing=is_thing,
+        semantic_class_has_orientation=is_thing,
+    )
+    pipe = PanopticInferencePipeline(model, post)
+
+    rng = np.random.default_rng(0)
+
+    def run(batch_size, iters):
+        rgb = jnp.asarray(rng.integers(
+            0, 255, (batch_size, H, W, 3), dtype=np.uint8))
+        depth = jnp.asarray(rng.integers(
+            0, 2 ** 14, (batch_size, H, W), dtype=np.uint16))
+
+        inputs = pipe.preprocess(rgb, depth)
+        variables = jax.jit(
+            lambda k: model.init({'params': k}, inputs, train=False)
+        )(jax.random.PRNGKey(0))
+
+        # warmup / compile
+        out = pipe(variables, rgb, depth)
+        jax.block_until_ready(out)
+
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = pipe(variables, rgb, depth)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        return batch_size * iters / dt
+
+    iters = 3 if args.quick else args.iters
+    if args.batch_size:
+        sizes = [args.batch_size]
+    else:
+        sizes = [2] if args.quick else [8, 16, 32]
+
+    best = 0.0
+    for bs in sizes:
+        try:
+            fps = run(bs, iters)
+        except Exception as e:  # OOM at large batch etc.
+            print(f'# batch {bs} failed: {type(e).__name__}: {e}',
+                  file=sys.stderr)
+            continue
+        print(f'# batch {bs}: {fps:.1f} frames/s', file=sys.stderr)
+        best = max(best, fps)
+
+    result = {
+        'metric': 'panoptic_inference_frames_per_sec_per_chip_640x480'
+                  if not args.quick else
+                  'panoptic_inference_frames_per_sec_per_chip_quick',
+        'value': round(best, 2),
+        'unit': 'frames/s/chip',
+        # north star: 5000 frames/s on v5e-8 => 625 per chip
+        'vs_baseline': round(best / 625.0, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()

@@ -9,14 +9,14 @@ visual embedding prediction -- built TPU-first:
 - NHWC layouts and bf16 matmuls everywhere (MXU-friendly),
 - static shapes with padded K-instance tables instead of ragged lists,
 - postprocessing (keypoint NMS, offset-vote grouping, panoptic merge)
-  as fused on-device XLA/Pallas programs instead of CPU Python loops,
+  as fused on-device XLA programs instead of CPU Python loops,
 - metrics accumulated in device memory and reduced with `lax.psum`
   over a `jax.sharding.Mesh` instead of torchmetrics + NCCL,
-- a pure-function train/eval step compiled with `jit`/`shard_map`.
+- pure-function train/eval steps compiled with `jit` over the mesh.
 
 Reference parity map: docstrings throughout cite the reference files
-(`<path>:<lines>` relative to the reference repo src root) whose behavior
-each component reproduces.
+(`<path>:<lines>` relative to the reference repo src root) whose
+behavior each component reproduces.
 """
 
 __version__ = '0.1.0'
@@ -26,9 +26,12 @@ from . import losses
 from . import metrics
 from . import models
 from . import ops
+from . import parallel
+from . import pipeline
 from . import postprocessing
 from . import tasks
 from . import utils
+from . import visualization
 from . import weighting
 
 from .multi_task import EnabledTasksInTheOrderTheyAppearInPredictions

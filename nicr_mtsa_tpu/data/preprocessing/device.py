@@ -35,7 +35,7 @@ class ToDeviceArrays(PreprocessingBase):
                                  f"shape '{value.shape}'")
             elif 1 == value.ndim and key not in (
                 'dense_visual_embedding_lut', 'image_embedding',
-                'panoptic_segment_table',
+                'panoptic_segment_table', 'panoptic_segment_table_fullres',
             ):
                 raise ValueError(f"Cannot handle entry '{key}' with "
                                  f"shape '{value.shape}'")

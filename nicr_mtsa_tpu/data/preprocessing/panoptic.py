@@ -64,7 +64,7 @@ class PanopticTargetGenerator(PreprocessingBase):
         panoptic_targets, panoptic_targets_id_dicts = \
             naive_merge_semantic_and_instance_np(
                 sample['semantic'],
-                sample['instance'],
+                sample['instance'].astype(np.uint16),
                 max_instances_per_category=self._max_instances_per_category,
                 thing_ids=thing_ids,
                 void_label=self._void_label,
@@ -89,6 +89,31 @@ class PanopticTargetGenerator(PreprocessingBase):
             dyn_overflow = len(ids) - self._segment_table_size
         else:
             dyn_overflow = 0
+
+        # full-resolution panoptic targets (the reference obtains these
+        # by running the generator before resizing; the task helpers
+        # evaluate PQ at full resolution against them)
+        sem_fullres = sample.get('semantic_fullres')
+        ins_fullres = sample.get('instance_fullres')
+        if (sem_fullres is not None and ins_fullres is not None
+                and 'panoptic_fullres' not in sample):
+            pan_fullres, id_dict_fullres = \
+                naive_merge_semantic_and_instance_np(
+                    sem_fullres,
+                    ins_fullres.astype(np.uint16),
+                    max_instances_per_category=self._max_instances_per_category,
+                    thing_ids=thing_ids,
+                    void_label=self._void_label,
+                )
+            sample['panoptic_fullres'] = pan_fullres
+            sample['panoptic_ids_to_instance_dict_fullres'] = \
+                CollateIgnoredDict(id_dict_fullres)
+            ids_f = np.unique(pan_fullres).astype(np.int64)
+            table_f = np.full((self._segment_table_size,),
+                              np.int64(SEGMENT_TABLE_PAD), dtype=np.int64)
+            table_f[:min(len(ids_f), self._segment_table_size)] = \
+                ids_f[:self._segment_table_size]
+            sample['panoptic_segment_table_fullres'] = table_f
 
         return sample, {
             'thing_semantic_classes': thing_ids,

@@ -1,0 +1,148 @@
+"""Panoptic task helper (reference task_helper/panoptic.py:28-212):
+validation-only -- PQ/SQ/RQ (+ orientation MAE) on the merged panoptic
+prediction, plus mIoU of the panoptic-derived semantic."""
+from typing import Any, Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.preprocessing.resize import get_fullres_key
+from ..metrics import (
+    MeanIntersectionOverUnion, PanopticQualityWithOrientationMAE,
+    confusion_matrix,
+)
+from ..ops.segments import unique_table
+from ._orientation_tables import gt_slot_angles, pred_slot_angles
+from .base import TaskHelperBase, append_profile_to_logs
+
+
+class PanopticTaskHelper(TaskHelperBase):
+    def __init__(
+        self,
+        semantic_n_classes: int,                   # with void
+        semantic_classes_is_thing: Tuple[bool, ...],
+        semantic_label_list=None,                  # for visualization
+        store_examples: bool = False,
+    ) -> None:
+        self._semantic_n_classes = semantic_n_classes
+        self._semantic_classes_is_thing = \
+            np.asarray(semantic_classes_is_thing, dtype=bool)
+        self._semantic_label_list = semantic_label_list
+        self._max_instances_per_category = 1 << 16
+        self._with_orientation = False
+        self._examples: Dict[str, Any] = {}
+        self._store_examples = store_examples
+        self.initialize()
+
+    def initialize(self) -> None:
+        self._mae_pq_deeplab = PanopticQualityWithOrientationMAE(
+            num_categories=self._semantic_n_classes,
+            ignored_label=0,
+            max_instances_per_category=self._max_instances_per_category,
+            offset=256 ** 3,
+            is_thing=self._semantic_classes_is_thing,
+        )
+        self._metric_iou = MeanIntersectionOverUnion(
+            n_classes=self._semantic_n_classes,
+            ignore_first_class=True)      # ignore void for miou
+        self._metric_iou.reset()
+
+    @append_profile_to_logs('panoptic_step_time')
+    def training_step(self, batch, batch_idx, predictions_post):
+        # merging + PQ happen at validation only
+        return {}, {}
+
+    @append_profile_to_logs('panoptic_step_time')
+    def validation_step(self, batch, batch_idx, predictions_post):
+        self._with_orientation = 'orientations_present' in batch
+
+        panoptic_target = jnp.asarray(
+            self.get_fullres(batch, 'panoptic'), jnp.int32)
+        gt_table = jnp.asarray(batch['panoptic_segment_table_fullres'])
+
+        panoptic_pred = predictions_post[
+            get_fullres_key('panoptic_segmentation_deeplab')].astype(jnp.int32)
+        id_table = predictions_post['panoptic_segmentation_deeplab_ids']
+
+        B = panoptic_pred.shape[0]
+        pred_table = unique_table(
+            panoptic_pred.reshape(B, -1),
+            self._mae_pq_deeplab._pred_table_size)
+
+        kwargs = {}
+        if self._with_orientation:
+            gt_angle, gt_angle_valid = gt_slot_angles(
+                np.asarray(gt_table),
+                batch['panoptic_ids_to_instance_dict_fullres'],
+                batch['orientations_present'])
+            angles_by_instance = predictions_post[
+                'orientations_panoptic_segmentation_deeplab_instance']
+            pred_angle, pred_angle_valid = pred_slot_angles(
+                pred_table, id_table, angles_by_instance)
+            kwargs = dict(
+                gt_angle=jnp.asarray(gt_angle),
+                gt_angle_valid=jnp.asarray(gt_angle_valid),
+                pred_angle=pred_angle,
+                pred_angle_valid=pred_angle_valid,
+            )
+
+        self._mae_pq_deeplab.update(
+            panoptic_pred, panoptic_target,
+            gt_table=gt_table, pred_table=pred_table, **kwargs)
+
+        # mIoU of the panoptic-derived semantic (merging may have
+        # changed classes)
+        deeplab_semantic = panoptic_pred // self._max_instances_per_category
+        target_semantic = jnp.asarray(
+            self.get_fullres(batch, 'semantic'), jnp.int32)
+        self._metric_iou.update(deeplab_semantic, target_semantic)
+
+        if self._store_examples and batch_idx == 0:
+            self._store_example_images(predictions_post)
+
+        return {}, {}
+
+    def _store_example_images(self, predictions_post):
+        from ..visualization import (
+            visualize_heatmap_pil, visualize_instance_pil,
+            visualize_panoptic_pil, visualize_semantic_pil,
+        )
+        pan = np.asarray(predictions_post['panoptic_segmentation_deeplab'][0])
+        self._examples['panoptic_example_batch_deeplab_0_0'] = \
+            visualize_panoptic_pil(
+                pan, max_instances=self._max_instances_per_category,
+                classes_is_thing=self._semantic_classes_is_thing)
+        self._examples['panoptic_example_batch_deeplab_semantic_0_0'] = \
+            visualize_semantic_pil(pan // self._max_instances_per_category)
+        self._examples['panoptic_example_batch_deeplab_instance_0_0'] = \
+            visualize_instance_pil(np.asarray(predictions_post[
+                'panoptic_segmentation_deeplab_instance_idx'][0]))
+        for score_key in ('semantic_score', 'instance_score',
+                          'panoptic_score'):
+            full_key = f'panoptic_segmentation_deeplab_{score_key}'
+            if full_key in predictions_post:
+                self._examples[
+                    f'panoptic_example_batch_deeplab_{score_key}_0_0'] = \
+                    visualize_heatmap_pil(
+                        np.asarray(predictions_post[full_key][0]),
+                        min_=0, max_=1)
+
+    @append_profile_to_logs('panoptic_epoch_end_time')
+    def validation_epoch_end(self):
+        artifacts, logs = {}, {}
+        results = self._mae_pq_deeplab.compute(suffix='_deeplab')
+        for key, value in results.items():
+            if np.ndim(value) == 0:
+                logs[f'panoptic_{key}'] = value
+            else:
+                artifacts[f'panoptic_{key}'] = value
+        self._mae_pq_deeplab.reset()
+
+        artifacts['panoptic_deeplab_semantic_cm'] = \
+            np.asarray(self._metric_iou.state)
+        miou, ious = self._metric_iou.compute(return_ious=True)
+        logs['panoptic_deeplab_semantic_miou'] = miou
+        artifacts['panoptic_deeplab_semantic_ious_per_class'] = ious
+        self._metric_iou.reset()
+
+        return artifacts, self._examples, logs

@@ -1,0 +1,175 @@
+"""End-to-end pipeline tests: real preprocessing chain -> multi-task
+model -> jitted train step -> validation with on-device metrics.
+This mirrors the reference's integration level
+(tests/test_decoders+postprocessing.py) plus the trainer wiring the
+reference delegates to EMSANet."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nicr_mtsa_tpu.data import mt_collate
+from nicr_mtsa_tpu.data.preprocessing import (
+    Compose, FullResCloner, InstanceClearStuffIDs, InstanceTargetGenerator,
+    MultiscaleSupervisionGenerator, NormalizeDepth, NormalizeRGB,
+    OrientationTargetGenerator, PanopticTargetGenerator, Resize,
+    ToDeviceArrays,
+)
+from nicr_mtsa_tpu.models.multi_task import (
+    MultiTaskModelConfig, build_model,
+)
+from nicr_mtsa_tpu.pipeline import (
+    MultiTaskPipeline, default_postprocessors, strip_non_arrays,
+)
+from nicr_mtsa_tpu.tasks import (
+    InstanceTaskHelper, PanopticTaskHelper, SceneTaskHelper,
+    SemanticTaskHelper,
+)
+from nicr_mtsa_tpu.testing import get_dummy_sample
+from nicr_mtsa_tpu.testing.preprocessing import (
+    N_TEST_CLASSES_WITH_VOID, TEST_CLASSES_IS_THING_WITH_VOID,
+)
+from nicr_mtsa_tpu.weighting import FixedLossWeighting
+
+
+H, W = 96, 128
+IS_THING = TEST_CLASSES_IS_THING_WITH_VOID
+N_CLASSES = N_TEST_CLASSES_WITH_VOID            # with void
+
+
+def make_batch(batch_size=2, train=True):
+    pre = Compose([
+        InstanceClearStuffIDs(semantic_classes_is_thing=IS_THING),
+        FullResCloner(('rgb', 'depth', 'semantic', 'instance')),
+        Resize(height=H, width=W),
+        MultiscaleSupervisionGenerator(
+            downscales=(4, 8, 16, 32),
+            keys=('semantic', 'instance', 'orientations')),
+        InstanceTargetGenerator(
+            sigma=8, semantic_classes_is_thing=IS_THING,
+            sigma_for_additional_downscales={4: 2, 8: 2, 16: 1, 32: 1}),
+        OrientationTargetGenerator(
+            semantic_classes_estimate_orientation=IS_THING),
+        PanopticTargetGenerator(semantic_classes_is_thing=IS_THING),
+        NormalizeRGB(),
+        NormalizeDepth(depth_mean=8000.0, depth_std=4000.0,
+                       raw_depth=True),
+        ToDeviceArrays(),
+    ])
+    samples = []
+    for i in range(batch_size):
+        s = get_dummy_sample()
+        s['scene'] = (i % 2) + 1     # classes 1, 2 (0 = void)
+        samples.append(pre(s))
+    return mt_collate(samples)
+
+
+def make_pipeline():
+    config = MultiTaskModelConfig(
+        tasks=('semantic', 'instance', 'orientation', 'scene'),
+        backbone_rgb='resnet18', backbone_depth='resnet18',
+        resnet_block='basicblock',
+        context_module='ppm',
+        context_n_channels=128,
+        input_size=(H, W),
+        decoder_n_channels=(64, 48, 32),
+        decoder_n_blocks=1,
+        upsampling='bilinear',
+        prediction_upsampling='bilinear',
+        semantic_n_classes=N_CLASSES - 1,
+        scene_n_classes=4,
+    )
+    model = build_model(config)
+    postprocessors = default_postprocessors(
+        tasks=config.tasks + ('panoptic',),
+        semantic_classes_is_thing=IS_THING[1:],
+        top_k_instances=32,
+    )
+    task_helpers = {
+        'semantic': SemanticTaskHelper(n_classes=N_CLASSES - 1),
+        'instance': InstanceTaskHelper(
+            semantic_n_classes=N_CLASSES,
+            semantic_classes_is_thing=IS_THING,
+            top_k_instances=32),
+        'panoptic': PanopticTaskHelper(
+            semantic_n_classes=N_CLASSES,
+            semantic_classes_is_thing=IS_THING),
+        'scene': SceneTaskHelper(n_classes=4),
+    }
+    loss_weighting = FixedLossWeighting({
+        'semantic_total_loss': 1.0,
+        'instance_center_total_loss': 1.0,
+        'instance_offset_total_loss': 1.0,
+        'instance_orientation_total_loss': 1.0,
+        'scene_total_loss': 1.0,
+    })
+    return MultiTaskPipeline(
+        model=model, postprocessors=postprocessors,
+        task_helpers=task_helpers, loss_weighting=loss_weighting)
+
+
+@pytest.fixture(scope='module')
+def pipeline_and_state():
+    pipeline = make_pipeline()
+    batch = make_batch()
+    inputs = pipeline.model_inputs(batch)
+    state = pipeline.create_train_state(jax.random.PRNGKey(0), inputs)
+    return pipeline, state, batch
+
+
+def test_train_step(pipeline_and_state):
+    pipeline, state, batch = pipeline_and_state
+    jit_batch = strip_non_arrays(batch)
+
+    state1, losses = pipeline.train_step(state, jit_batch, batch_idx=0,
+                                         rng=jax.random.PRNGKey(1))
+    assert np.isfinite(float(losses['total_loss']))
+    for key in ('semantic_total_loss', 'instance_center_total_loss',
+                'instance_offset_total_loss',
+                'instance_orientation_total_loss', 'scene_total_loss'):
+        assert key in losses, key
+        assert np.isfinite(float(losses[key])), key
+
+    # params actually changed, step advanced
+    assert int(state1['step']) == int(state['step']) + 1
+    diff = sum(
+        float(jnp.sum(jnp.abs(a - b)))
+        for a, b in zip(jax.tree_util.tree_leaves(state['params']),
+                        jax.tree_util.tree_leaves(state1['params'])))
+    assert diff > 0.0
+
+    # second step reuses the compiled program
+    state2, losses2 = pipeline.train_step(state1, jit_batch, batch_idx=1,
+                                          rng=jax.random.PRNGKey(2))
+    assert np.isfinite(float(losses2['total_loss']))
+
+
+def test_validation_and_epoch_end(pipeline_and_state):
+    pipeline, state, batch = pipeline_and_state
+
+    predictions_post, losses, logs = pipeline.validation_step(
+        state, batch, batch_idx=0)
+
+    # output-key contract (inference keys)
+    for key in ('semantic_segmentation_idx',
+                'semantic_segmentation_idx_fullres',
+                'instance_segmentation_gt_foreground',
+                'panoptic_segmentation_deeplab',
+                'panoptic_segmentation_deeplab_fullres',
+                'panoptic_segmentation_deeplab_semantic_idx',
+                'orientations_panoptic_segmentation_deeplab_instance',
+                'scene_class_idx'):
+        assert key in predictions_post, key
+
+    assert predictions_post['semantic_segmentation_idx'].shape == (2, H, W)
+    assert predictions_post[
+        'semantic_segmentation_idx_fullres'].shape == (2, 512, 512)
+
+    artifacts, examples, logs = pipeline.validation_epoch_end()
+    for key in ('semantic_miou', 'panoptic_all_deeplab_pq',
+                'panoptic_deeplab_semantic_miou',
+                'instance_all_deeplab_pq', 'scene_acc', 'scene_bacc',
+                'orientation_mae_gt_rad'):
+        assert key in logs, (key, sorted(logs))
+    assert 0.0 <= float(logs['panoptic_all_deeplab_pq']) <= 1.0
+    assert 'semantic_cm' in artifacts

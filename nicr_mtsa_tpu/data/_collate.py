@@ -46,6 +46,10 @@ def collate(
         return np.stack(data)
 
     if isinstance(elem, dict):
+        if any(set(s.keys()) != set(elem.keys()) for s in data):
+            # ragged key sets (e.g. per-sample {instance_id: ...} maps
+            # from datasets that do not mark them collate-ignored)
+            return data
         return {
             key: collate([s[key] for s in data], type_blacklist)
             for key in elem

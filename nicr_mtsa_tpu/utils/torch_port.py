@@ -1,0 +1,125 @@
+"""PyTorch/torchvision -> flax weight porting.
+
+TPU-native counterpart of the reference's checkpoint surgery
+(model/backbone/__init__.py:60-229 and resnet.py:263-291): load a
+torchvision-style ResNet state dict into this library's NHWC flax
+parameter tree, including
+
+- `model.` / `backbone.` / `_orig_mod.` prefix stripping (DataParallel
+  / DDP / torch.compile artifacts),
+- fc / fc_embedding head removal,
+- first-conv channel adaptation: 1-channel (depth) inputs sum the RGB
+  kernels; 4-channel (rgbd) inputs append the summed kernel and halve
+  the magnitude,
+- OIHW -> HWIO kernel transposition, BatchNorm -> (scale, bias) +
+  (mean, var) batch stats.
+
+Used for parity testing (same weights -> same outputs as a torch
+model) and for bootstrapping from ImageNet-pretrained checkpoints.
+"""
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+
+def _np(tensor):
+    if hasattr(tensor, 'detach'):
+        return tensor.detach().cpu().numpy()
+    return np.asarray(tensor)
+
+
+def clean_state_dict_keys(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """Strip wrapper prefixes and drop classifier heads."""
+    out = {}
+    for key, value in state_dict.items():
+        new_key = key.replace('model.', '').replace('backbone.', '')
+        new_key = new_key.replace('_orig_mod.', '')
+        out[new_key] = value
+    for head in ('fc.weight', 'fc.bias',
+                 'fc_embedding.weight', 'fc_embedding.bias'):
+        out.pop(head, None)
+    return out
+
+
+def adapt_first_conv(kernel_oihw: np.ndarray,
+                     n_input_channels: int) -> np.ndarray:
+    """Channel surgery on the stem conv (reference
+    backbone/__init__.py:171-186)."""
+    c_in = kernel_oihw.shape[1]
+    if c_in == n_input_channels:
+        return kernel_oihw
+    if n_input_channels == 1:
+        return kernel_oihw.sum(axis=1, keepdims=True)
+    if n_input_channels == 4:
+        summed = kernel_oihw.sum(axis=1, keepdims=True)
+        return np.concatenate([kernel_oihw, summed], axis=1) / 2.0
+    raise ValueError(
+        f'cannot adapt {c_in}-channel conv to {n_input_channels} inputs')
+
+
+def _conv(kernel_oihw) -> np.ndarray:
+    """torch OIHW -> flax HWIO."""
+    return _np(kernel_oihw).transpose(2, 3, 1, 0)
+
+
+def _bn(state, prefix):
+    params = {'BatchNorm_0': {
+        'scale': _np(state[f'{prefix}.weight']),
+        'bias': _np(state[f'{prefix}.bias']),
+    }}
+    stats = {'BatchNorm_0': {
+        'mean': _np(state[f'{prefix}.running_mean']),
+        'var': _np(state[f'{prefix}.running_var']),
+    }}
+    return params, stats
+
+
+def port_resnet_state_dict(
+    state_dict: Dict[str, Any],
+    layers: Tuple[int, ...] = (2, 2, 2, 2),
+    bottleneck: bool = False,
+    n_input_channels: int = 3,
+) -> Dict[str, Any]:
+    """torchvision ResNet state dict -> {'params': ..., 'batch_stats': ...}
+    matching models/backbones/resnet.ResNetBackbone's tree.
+
+    Accepts both torchvision naming ('bn1', 'bn2', ...) and the
+    reference's renamed 'norm1'/'norm2' keys."""
+    state = clean_state_dict_keys(state_dict)
+
+    # normalize bn naming to torchvision's
+    for key in list(state):
+        if '.norm' in key or key.startswith('norm'):
+            state[key.replace('norm', 'bn')] = state.pop(key)
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    stem = adapt_first_conv(_np(state['conv1.weight']), n_input_channels)
+    params['conv1'] = {'kernel': stem.transpose(2, 3, 1, 0)}
+    params['norm1'], stats['norm1'] = _bn(state, 'bn1')
+
+    n_convs = 3 if bottleneck else 2
+    for li, n_blocks in enumerate(layers, start=1):
+        for bi in range(n_blocks):
+            t = f'layer{li}.{bi}'
+            name = f'layer{li}_block{bi}'
+            block_p: Dict[str, Any] = {}
+            block_s: Dict[str, Any] = {}
+            for ci in range(1, n_convs + 1):
+                block_p[f'conv{ci}'] = {
+                    'kernel': _conv(state[f'{t}.conv{ci}.weight'])}
+                block_p[f'norm{ci}'], block_s[f'norm{ci}'] = \
+                    _bn(state, f'{t}.bn{ci}')
+            if f'{t}.downsample.0.weight' in state:
+                ds_p, ds_s = _bn(state, f'{t}.downsample.1')
+                block_p['downsample'] = {
+                    'conv': {'kernel':
+                             _conv(state[f'{t}.downsample.0.weight'])},
+                    'norm': ds_p,
+                }
+                block_s['downsample'] = {'norm': ds_s}
+            params[name] = block_p
+            stats[name] = block_s
+
+    return {'params': params, 'batch_stats': stats}

@@ -22,6 +22,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .lookup import bool_table_lookup, value_table_lookup
+
 
 class PanopticMerge(NamedTuple):
     panoptic: jnp.ndarray           # (B, H, W) int32 panoptic ids
@@ -79,10 +81,11 @@ def deeplab_merge(
     panoptic_id_table = jnp.where(
         valid_instance, majority * M + rank, 0).astype(jnp.int32)
 
-    # (4) per-pixel assembly
-    table_gather = jnp.take_along_axis(
-        panoptic_id_table, ins_slot, axis=1)                # (B, P)
-    is_stuff_class = ~thing_class_table[jnp.clip(flat_sem, 0, C - 1)]
+    # (4) per-pixel assembly (one-hot matmul lookups: native gathers
+    # of small tables serialize on the TPU scalar core, ~20 ms/batch)
+    table_gather = value_table_lookup(ins_slot, panoptic_id_table)
+    is_stuff_class = ~bool_table_lookup(
+        jnp.clip(flat_sem, 0, C - 1), thing_class_table)
     stuff_px = (flat_ins == 0) & (flat_sem > 0) & is_stuff_class
 
     pan = jnp.where(is_thing_px, table_gather, 0)

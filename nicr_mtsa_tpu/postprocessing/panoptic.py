@@ -15,6 +15,7 @@ import numpy as np
 
 from ..data.preprocessing.resize import get_fullres_key
 from ..ops.grouping import instance_orientations
+from ..ops.lookup import bool_table_lookup, value_table_lookup
 from ..ops.merge import deeplab_merge
 from .base import DensePostprocessingBase
 from .instance import InstancePostprocessing
@@ -80,7 +81,8 @@ class PanopticPostprocessing(DensePostprocessingBase):
         # thing-foreground mask from the semantic prediction (computed
         # at working resolution, before fullres upsampling)
         semantic_idx = r_dict['semantic_segmentation_idx']   # (B, H, W)
-        foreground_mask = self._thing_class_table[semantic_idx]
+        foreground_mask = bool_table_lookup(semantic_idx,
+                                            self._thing_class_table)
         r_dict['panoptic_foreground_mask'] = foreground_mask
 
         # re-group instances under the panoptic foreground
@@ -145,9 +147,10 @@ class PanopticPostprocessing(DensePostprocessingBase):
 
         if with_orientation:
             # orientation foreground from panoptic-derived semantic
-            fg_ori = self._orientation_class_table_panoptic[
+            fg_ori = bool_table_lookup(
                 jnp.clip(pan_seg_semantic, 0,
-                         self._n_classes_with_void - 1)]
+                         self._n_classes_with_void - 1),
+                self._orientation_class_table_panoptic)
             r_dict['orientations_panoptic_segmentation_deeplab_instance'] = \
                 instance_orientations(
                     orientation,
@@ -167,8 +170,9 @@ class PanopticPostprocessing(DensePostprocessingBase):
 
         void_mask = pan_seg_semantic == 0
         gather_idx = jnp.where(void_mask, 0, pan_seg_semantic - 1)
-        sem_score = jnp.take_along_axis(
-            semantic_scores, gather_idx[..., None], axis=-1)[..., 0]
+        oh = jax.nn.one_hot(gather_idx, semantic_scores.shape[-1],
+                            dtype=semantic_scores.dtype)
+        sem_score = jnp.sum(oh * semantic_scores, axis=-1)
         sem_score = jnp.where(void_mask, 0.0, sem_score)
         r_dict['panoptic_segmentation_deeplab_semantic_score'] = sem_score
 
@@ -177,12 +181,13 @@ class PanopticPostprocessing(DensePostprocessingBase):
 
         # valid-instance pixels = pixels whose panoptic id is a thing id
         valid_instance = merge.panoptic_id_table != 0        # (B, K+1)
-        px_valid = jnp.take_along_axis(valid_instance, flat_ins, axis=1)
+        px_valid = value_table_lookup(
+            flat_ins, valid_instance.astype(jnp.int32)) > 0
 
         # per-pixel instance score (0-padded table; slot 0 = bg -> 0)
         score_table = jnp.concatenate(
             [jnp.zeros((B, 1), result.scores.dtype), result.scores], axis=1)
-        inst_score = jnp.take_along_axis(score_table, flat_ins, axis=1)
+        inst_score = value_table_lookup(flat_ins, score_table)
         inst_score = jnp.where(px_valid, inst_score, 0.0)
         r_dict['panoptic_segmentation_deeplab_instance_score'] = \
             inst_score.reshape(B, H, W)
@@ -194,7 +199,7 @@ class PanopticPostprocessing(DensePostprocessingBase):
         sums = jnp.einsum('bpk,bp->bk', onehot, flat_sem_score)
         counts = jnp.maximum(jnp.sum(onehot, axis=1), 1.0)
         mean_sem = sums / counts                              # (B, K+1)
-        px_mean_sem = jnp.take_along_axis(mean_sem, flat_ins, axis=1)
+        px_mean_sem = value_table_lookup(flat_ins, mean_sem)
 
         pan_score = jnp.where(px_valid, inst_score * px_mean_sem,
                               flat_sem_score)

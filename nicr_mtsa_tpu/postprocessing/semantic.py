@@ -5,6 +5,7 @@ import jax
 import jax.numpy as jnp
 
 from ..data.preprocessing.resize import get_fullres_key
+from ..ops.lookup import max_and_argmax
 from .base import DensePostprocessingBase
 
 
@@ -24,23 +25,22 @@ class SemanticPostprocessing(DensePostprocessingBase):
                   'semantic_side_outputs': side_outputs}
 
         pred = jax.nn.softmax(output, axis=-1)
+        score, idx = max_and_argmax(pred, axis=-1)
         r_dict.update({
             'semantic_softmax_scores': pred,
-            'semantic_segmentation_score': jnp.max(pred, axis=-1),
-            'semantic_segmentation_idx':
-                jnp.argmax(pred, axis=-1).astype(jnp.int32),
+            'semantic_segmentation_score': score,
+            'semantic_segmentation_idx': idx,
         })
 
         crop_slices, resize_shape = self._fullres_args(batch, 'semantic')
         output_fullres = self._crop_to_valid_region_and_resize_prediction(
             output, crop_slices, resize_shape, mode='bilinear')
         pred_fullres = jax.nn.softmax(output_fullres, axis=-1)
+        score_fr, idx_fr = max_and_argmax(pred_fullres, axis=-1)
         r_dict.update({
             get_fullres_key('semantic_output'): output_fullres,
             get_fullres_key('semantic_softmax_scores'): pred_fullres,
-            get_fullres_key('semantic_segmentation_score'):
-                jnp.max(pred_fullres, axis=-1),
-            get_fullres_key('semantic_segmentation_idx'):
-                jnp.argmax(pred_fullres, axis=-1).astype(jnp.int32),
+            get_fullres_key('semantic_segmentation_score'): score_fr,
+            get_fullres_key('semantic_segmentation_idx'): idx_fr,
         })
         return r_dict

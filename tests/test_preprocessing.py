@@ -367,3 +367,36 @@ def test_provenance_meta_accumulates():
     sample = pre(sample)
     meta = sample[APPLIED_PREPROCESSING_KEY]
     assert [m['type'] for m in meta] == ['Resize', 'NormalizeRGB']
+
+
+def test_transform_wrapper_consistent_and_crops():
+    from nicr_mtsa_tpu.data.preprocessing import TransformWrapper
+
+    sample = get_dummy_sample()
+
+    # joint transform: horizontal flip applied to the whole stack keeps
+    # modalities and labels aligned
+    wrapper = TransformWrapper(transform=lambda s: s[:, ::-1])
+    rgb_orig = sample['rgb'].copy()
+    sem_orig = sample['semantic'].copy()
+    out = wrapper(sample)
+    np.testing.assert_array_equal(out['rgb'], rgb_orig[:, ::-1])
+    np.testing.assert_array_equal(out['semantic'], sem_orig[:, ::-1])
+    assert out['semantic'].dtype == sem_orig.dtype
+    assert out['some_mask'].dtype == bool
+
+    # five-crop adds a leading crop axis to every spatial entry
+    sample2 = get_dummy_sample()
+    wrapper5 = TransformWrapper(transform=lambda s: s,
+                                final_crop=('five', 128, 128))
+    out2 = wrapper5(sample2)
+    assert out2['rgb'].shape == (5, 128, 128, 3)
+    assert out2['depth'].shape == (5, 128, 128)
+    # center crop equals direct center slice
+    assert (out2['rgb'][4] ==
+            np.asarray(_synthetic_rgb_cache()[192:320, 192:320])).all()
+
+
+def _synthetic_rgb_cache():
+    from nicr_mtsa_tpu.testing.preprocessing import _synthetic_rgb
+    return _synthetic_rgb(512, 512)

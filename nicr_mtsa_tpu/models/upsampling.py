@@ -75,17 +75,35 @@ class Upsampling(nn.Module):
 
         if 'learned-3x3' in mode:
             assert (sfy, sfx) == (2.0, 2.0) or (sfy, sfx) == (2, 2)
-            x = upsample_nearest_2x(x)
-            if mode == 'learned-3x3':
-                # replication padding, conv without padding
-                x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
-                            mode='edge')
-                padding = 'VALID'
-            else:
-                padding = ((1, 1), (1, 1))
             n = self.n_channels or x.shape[-1]
+            if mode == 'learned-3x3-zeropad':
+                # fused form: nearest x2 + zero-padded depthwise 3x3 is
+                # EXACTLY an input-dilated depthwise conv with the 4x4
+                # kernel flip(T W T^T), T = [[0,0,1],[0,1,1],[1,1,0],
+                # [1,0,0]] -- one op, no 2x-upsampled intermediate
+                # (verified bit-wise against the two-op form)
+                kernel = self.param('kernel', _bilinear_kernel_init,
+                                    (3, 3, 1, n), jnp.float32)
+                T = jnp.asarray([[0, 0, 1], [0, 1, 1],
+                                 [1, 1, 0], [1, 0, 0]], jnp.float32)
+                kt = jnp.einsum('ay,yxzc,bx->abzc', T, kernel, T)
+                kt = kt[::-1, ::-1]
+                y = jax.lax.conv_general_dilated(
+                    x.astype(self.dtype), kt.astype(self.dtype),
+                    (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
+                    dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                    feature_group_count=n)
+                if self.use_bias:
+                    bias = self.param('bias', nn.initializers.zeros,
+                                      (n,), jnp.float32)
+                    y = y + bias.astype(self.dtype)
+                return y
+            # replication-padding variant keeps the two-op form
+            x = upsample_nearest_2x(x)
+            x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                        mode='edge')
             x = nn.Conv(
-                n, (3, 3), padding=padding, feature_group_count=n,
+                n, (3, 3), padding='VALID', feature_group_count=n,
                 use_bias=self.use_bias, dtype=self.dtype,
                 kernel_init=_bilinear_kernel_init,
                 bias_init=nn.initializers.zeros,

@@ -282,6 +282,43 @@ class MultiTaskPipeline:
             logs.update(l)
         return artifacts, examples, logs
 
+    # --- fused evaluation ---------------------------------------------------
+    def make_fused_eval_step(self, static_batch: Dict[str, Any]):
+        """Build ONE jitted program: forward + postprocessing + metric
+        STATE updates, with metric states threaded functionally -- the
+        eval path never round-trips to host (BASELINE.json north star;
+        the reference syncs at the merge, every metric update, and
+        every per-instance `.item()`, SURVEY.md §3.2).
+
+        `static_batch` carries the non-array keys every batch shares
+        (`_applied_preprocessing` meta with the Resize valid-region
+        slices). The returned step consumes metric states keyed by
+        task-helper name and the helpers' `update_metrics`-compatible
+        inputs; host code merely carries the state pytree between
+        calls and runs `compute()` once per epoch."""
+        helpers = self.task_helpers
+
+        def step(params, batch_stats, batch, metric_states):
+            full_batch = dict(batch)
+            full_batch.update(static_batch)
+            predictions_post = self._val_forward_impl(
+                params, batch_stats, full_batch)
+
+            new_states = dict(metric_states)
+            losses = {}
+            for name, helper in helpers.items():
+                if hasattr(helper, 'compute_losses') \
+                        and name != 'panoptic':
+                    losses.update(helper.compute_losses(
+                        full_batch, predictions_post))
+                if hasattr(helper, 'update_metric_states'):
+                    new_states[name] = helper.update_metric_states(
+                        metric_states.get(name), full_batch,
+                        predictions_post)
+            return predictions_post, losses, new_states
+
+        return jax.jit(step)
+
 
 class PanopticInferencePipeline:
     """Serving path: raw uint8 rgb + uint16 depth -> panoptic maps,

@@ -70,6 +70,17 @@ class NormalTaskHelper(TaskHelperBase):
     def training_step(self, batch, batch_idx, predictions_post):
         return self.compute_losses(batch, predictions_post), {}
 
+    def empty_metric_states(self):
+        return self._metric_rmse.empty_state()
+
+    def update_metric_states(self, state, batch, predictions_post):
+        if state is None:
+            state = self.empty_metric_states()
+        target = jnp.asarray(self.get_fullres(batch, 'normal'))
+        return self._metric_rmse.update_state(
+            state, predictions_post[get_fullres_key('normal_output')],
+            target, mask=_get_valid_gt_normals(target))
+
     @append_profile_to_logs('normal_step_time')
     @append_detached_losses_to_logs()
     def validation_step(self, batch, batch_idx, predictions_post):

@@ -52,6 +52,60 @@ class PanopticTaskHelper(TaskHelperBase):
         # merging + PQ happen at validation only
         return {}, {}
 
+    # --- functional metric-state API (fused eval step) ----------------------
+    # Orientation MAE in fused mode requires precomputed GT angle
+    # tables in the batch ('panoptic_gt_angle_table'/'_valid', aligned
+    # to 'panoptic_segment_table_fullres'); otherwise only PQ + mIoU
+    # states update inside the jit.
+    def empty_metric_states(self):
+        return {'pq': self._mae_pq_deeplab.empty_state(),
+                'miou': self._metric_iou.empty_state()}
+
+    def update_metric_states(self, state, batch, predictions_post):
+        if state is None:
+            state = self.empty_metric_states()
+        panoptic_target = jnp.asarray(
+            self.get_fullres(batch, 'panoptic'), jnp.int32)
+        gt_table = jnp.asarray(batch['panoptic_segment_table_fullres'])
+        panoptic_pred = predictions_post[
+            get_fullres_key('panoptic_segmentation_deeplab')] \
+            .astype(jnp.int32)
+        B = panoptic_pred.shape[0]
+        pred_table = unique_table(
+            panoptic_pred.reshape(B, -1),
+            self._mae_pq_deeplab._pred_table_size)
+
+        kwargs = {}
+        if 'panoptic_gt_angle_table' in batch and \
+                'orientations_panoptic_segmentation_deeplab_instance' \
+                in predictions_post:
+            pred_angle, pred_angle_valid = pred_slot_angles(
+                pred_table,
+                predictions_post['panoptic_segmentation_deeplab_ids'],
+                predictions_post[
+                    'orientations_panoptic_segmentation_deeplab_instance'])
+            kwargs = dict(
+                gt_angle=batch['panoptic_gt_angle_table'],
+                gt_angle_valid=batch['panoptic_gt_angle_table_valid'],
+                pred_angle=pred_angle, pred_angle_valid=pred_angle_valid)
+
+        pq_state = self._mae_pq_deeplab.update_state(
+            state['pq'], panoptic_pred, panoptic_target,
+            gt_table=gt_table, pred_table=pred_table, **kwargs)
+
+        deeplab_semantic = panoptic_pred // self._max_instances_per_category
+        target_semantic = jnp.asarray(
+            self.get_fullres(batch, 'semantic'), jnp.int32)
+        miou_state = self._metric_iou.update_state(
+            state['miou'], deeplab_semantic, target_semantic)
+        return {'pq': pq_state, 'miou': miou_state}
+
+    def load_metric_states(self, state):
+        """Adopt fused-eval states so validation_epoch_end reports
+        them."""
+        self._mae_pq_deeplab.state = state['pq']
+        self._metric_iou.state = state['miou']
+
     @append_profile_to_logs('panoptic_step_time')
     def validation_step(self, batch, batch_idx, predictions_post):
         self._with_orientation = 'orientations_present' in batch

@@ -56,6 +56,21 @@ class SceneTaskHelper(TaskHelperBase):
     def training_step(self, batch, batch_idx, predictions_post):
         return self.compute_losses(batch, predictions_post), {}
 
+    def empty_metric_states(self):
+        return jnp.zeros((self._n_classes, self._n_classes), jnp.int32)
+
+    def update_metric_states(self, state, batch, predictions_post):
+        if state is None:
+            state = self.empty_metric_states()
+        target = batch['scene'].astype(jnp.int32)
+        valid = target != 0
+        preds = predictions_post['scene_class_idx'].astype(jnp.int32)
+        t = jnp.where(valid, target - 1, 0)
+        p = jnp.where(valid, preds, 0)
+        cm = confusion_matrix(p, t, self._n_classes)
+        cm = cm.at[0, 0].add(-jnp.sum(~valid).astype(cm.dtype))
+        return state + cm
+
     @append_profile_to_logs('scene_step_time')
     @append_detached_losses_to_logs()
     def validation_step(self, batch, batch_idx, predictions_post):

@@ -86,6 +86,22 @@ class SemanticTaskHelper(TaskHelperBase):
         cm = cm.at[0, 0].add(-n_void)
         self._metric_iou.state = self._metric_iou.state + cm
 
+    # --- functional metric-state API (fused eval step) ----------------------
+    def empty_metric_states(self):
+        return self._metric_iou.empty_state()
+
+    def update_metric_states(self, state, batch, predictions_post):
+        if state is None:
+            state = self.empty_metric_states()
+        target = self.get_fullres(batch, 'semantic')
+        preds = predictions_post[get_fullres_key('semantic_segmentation_idx')]
+        valid = target != 0
+        t = jnp.where(valid, target.astype(jnp.int32) - 1, 0)
+        p = jnp.where(valid, preds.astype(jnp.int32), 0)
+        cm = confusion_matrix(p, t, self._n_classes)
+        cm = cm.at[0, 0].add(-jnp.sum(~valid).astype(cm.dtype))
+        return state + cm
+
     @append_profile_to_logs('semantic_step_time')
     @append_detached_losses_to_logs()
     def validation_step(self, batch, batch_idx, predictions_post):

@@ -249,3 +249,27 @@ def test_panoptic_helper():
         _init_and_apply(helper, x, skips, train=False)
     assert s_out.shape == (2, H, W, 20)
     assert len(i_out) == 3
+
+
+def test_learned_zeropad_upsampling_fused_equivalence():
+    # the fused input-dilated form must match nearest-x2 + zero-padded
+    # depthwise 3x3 exactly, for an arbitrary (trained) kernel
+    from jax import lax
+    rng = np.random.default_rng(3)
+    C = 5
+    x = jnp.asarray(rng.normal(size=(2, 7, 9, C)), jnp.float32)
+    up = Upsampling(mode='learned-3x3-zeropad', n_channels=C)
+    variables = up.init(jax.random.PRNGKey(0), x)
+    # overwrite with a random kernel/bias (simulate trained weights)
+    kernel = jnp.asarray(rng.normal(size=(3, 3, 1, C)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(C,)), jnp.float32)
+    variables = {'params': {'kernel': kernel, 'bias': bias}}
+    y = up.apply(variables, x)
+
+    x2 = jnp.repeat(jnp.repeat(x, 2, 1), 2, 2)
+    ref = lax.conv_general_dilated(
+        x2, kernel, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        feature_group_count=C) + bias
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)

@@ -173,3 +173,45 @@ def test_validation_and_epoch_end(pipeline_and_state):
         assert key in logs, (key, sorted(logs))
     assert 0.0 <= float(logs['panoptic_all_deeplab_pq']) <= 1.0
     assert 'semantic_cm' in artifacts
+
+
+def test_fused_eval_step(pipeline_and_state):
+    """Forward + postprocessing + metric-state updates in ONE jitted
+    program; states adopted by the stateful helpers must reproduce the
+    eager validation results."""
+    pipeline, state, batch = pipeline_and_state
+    from nicr_mtsa_tpu.data.preprocessing.base import (
+        APPLIED_PREPROCESSING_KEY,
+    )
+
+    static_batch = {
+        APPLIED_PREPROCESSING_KEY: batch[APPLIED_PREPROCESSING_KEY],
+    }
+    step = pipeline.make_fused_eval_step(static_batch)
+
+    arrays = strip_non_arrays(batch)
+    states = {name: helper.empty_metric_states()
+              for name, helper in pipeline.task_helpers.items()
+              if hasattr(helper, 'empty_metric_states')}
+
+    predictions_post, losses, states = step(
+        state['params'], state['batch_stats'], arrays, states)
+    # run twice: states accumulate
+    predictions_post, losses, states = step(
+        state['params'], state['batch_stats'], arrays, states)
+
+    assert np.isfinite(float(losses['semantic_total_loss']))
+    assert 'panoptic_segmentation_deeplab' in predictions_post
+
+    # adopt states and compute epoch metrics
+    pipeline.task_helpers['semantic']._metric_iou.state = \
+        states['semantic']
+    pipeline.task_helpers['panoptic'].load_metric_states(
+        states['panoptic'])
+    pipeline.task_helpers['scene']._cm_state = states['scene']
+    artifacts, _, logs = pipeline.validation_epoch_end()
+    assert 'semantic_miou' in logs
+    assert 0.0 <= float(logs['panoptic_all_deeplab_pq']) <= 1.0
+    # two identical batches -> confusion counts = 2x non-void pixels
+    assert int(np.asarray(artifacts['semantic_cm']).sum()) == \
+        2 * int((batch['semantic_fullres'] != 0).sum())

@@ -97,10 +97,16 @@ def _nearest_indices(n_src: int, n_dst: int) -> np.ndarray:
 
 
 def resize_image_nearest(value: np.ndarray, height: int, width: int) -> np.ndarray:
-    """Nearest resize via index gather; exact for any dtype."""
+    """Nearest resize via index gather; exact for any dtype. Uses the
+    native multithreaded kernel (native/mtsa_preproc.cpp) when built,
+    with this numpy path as the exact-equivalent fallback."""
     h, w = value.shape[:2]
     if (h, w) == (height, width):
         return value.copy()
+    from ...native import nearest_resize as _native_nearest
+    out = _native_nearest(value, height, width)
+    if out is not None:
+        return out
     yi = _nearest_indices(h, height)
     xi = _nearest_indices(w, width)
     return value[yi[:, None], xi[None, :], ...]
@@ -112,6 +118,12 @@ def resize_image_bilinear(value: np.ndarray, height: int, width: int) -> np.ndar
     h, w = value.shape[:2]
     if (h, w) == (height, width):
         return value.copy()
+
+    if value.dtype == np.uint8:
+        from ...native import bilinear_resize_u8 as _native_bilinear
+        out = _native_bilinear(value, height, width)
+        if out is not None:
+            return out
 
     in_dtype = value.dtype
     x = np.asarray(value, dtype=np.float32)

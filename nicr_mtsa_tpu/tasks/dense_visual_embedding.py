@@ -86,11 +86,12 @@ class DenseVisualEmbeddingTaskHelper(TaskHelperBase):
         embedding_dim = preds[0].shape[-1]
         luts = batch['dense_visual_embedding_lut']
         if isinstance(luts, list):
-            padded = pad_embedding_luts(
-                [np.asarray(l) for l in luts], embedding_dim)
+            # ragged host-side LUTs: pad once (outside jit)
+            lut = jnp.asarray(pad_embedding_luts(
+                [np.asarray(l) for l in luts], embedding_dim))
         else:
-            padded = np.asarray(luts)
-        lut = jnp.asarray(padded)                       # (B, L+1, D)
+            # already padded (possibly a traced array inside jit)
+            lut = jnp.asarray(luts)                     # (B, L+1, D)
 
         indices_scales = self.collect_targets_for_loss(
             batch, 'dense_visual_embedding_indices', downscales)

@@ -215,3 +215,79 @@ def test_fused_eval_step(pipeline_and_state):
     # two identical batches -> confusion counts = 2x non-void pixels
     assert int(np.asarray(artifacts['semantic_cm']).sum()) == \
         2 * int((batch['semantic_fullres'] != 0).sum())
+
+
+def test_emsaformer_style_train_step():
+    """Second model family end-to-end: multimodal Swin + MLP decoders
+    + DVE head through one jitted train step."""
+    import jax.numpy as jnp
+    from nicr_mtsa_tpu.tasks import (
+        DenseVisualEmbeddingTaskHelper, SemanticTaskHelper as STH,
+    )
+    from nicr_mtsa_tpu.tasks.dense_visual_embedding import (
+        pad_embedding_luts,
+    )
+
+    Hs, Ws = 64, 64
+    config = MultiTaskModelConfig(
+        tasks=('semantic', 'instance', 'orientation', 'scene',
+               'dense_visual_embedding'),
+        backbone_rgb=None, backbone_depth=None,
+        backbone_rgbd='swin-t',
+        context_module='ppm', context_n_channels=64,
+        decoder_type='mlp', decoder_n_channels=(64, 48, 48, 48),
+        encoder_decoder_fusion='swin-ln-select',
+        upsampling='bilinear', prediction_upsampling='bilinear',
+        input_size=(Hs, Ws),
+        semantic_n_classes=N_CLASSES - 1, scene_n_classes=4,
+        embedding_dim=16,
+    )
+    model = build_model(config)
+    pipeline = MultiTaskPipeline(
+        model=model,
+        postprocessors=default_postprocessors(
+            tasks=config.tasks + ('panoptic',),
+            semantic_classes_is_thing=IS_THING[1:],
+            top_k_instances=16),
+        task_helpers={
+            'semantic': STH(n_classes=N_CLASSES - 1),
+            'instance': InstanceTaskHelper(
+                semantic_n_classes=N_CLASSES,
+                semantic_classes_is_thing=IS_THING,
+                top_k_instances=16),
+            'scene': SceneTaskHelper(n_classes=4),
+            'dense_visual_embedding':
+                DenseVisualEmbeddingTaskHelper(n_classes=N_CLASSES - 1),
+        },
+    )
+
+    rng = np.random.default_rng(4)
+    D = 16
+    luts = [rng.normal(size=(3, D)).astype(np.float32),
+            rng.normal(size=(2, D)).astype(np.float32)]
+    batch = {
+        'rgbd': rng.normal(size=(2, Hs, Ws, 4)).astype(np.float32),
+        'semantic': rng.integers(0, N_CLASSES, (2, Hs, Ws)).astype(
+            np.int32),
+        'instance_center': rng.random((2, Hs, Ws)).astype(np.float32),
+        'instance_offset': rng.normal(
+            size=(2, Hs, Ws, 2)).astype(np.float32),
+        'instance_foreground': rng.random((2, Hs, Ws)) > 0.5,
+        'instance_center_mask': rng.random((2, Hs, Ws)) > 0.3,
+        'orientation': rng.normal(size=(2, Hs, Ws, 2)).astype(np.float32),
+        'orientation_foreground': rng.random((2, Hs, Ws)) > 0.5,
+        'scene': rng.integers(1, 5, (2,)).astype(np.int32),
+        'dense_visual_embedding_lut': jnp.asarray(
+            pad_embedding_luts(luts, D)),
+        'dense_visual_embedding_indices': jnp.asarray(
+            rng.integers(0, 3, (2, Hs, Ws)).astype(np.int32)),
+    }
+    inputs = pipeline.model_inputs(batch)
+    state = pipeline.create_train_state(jax.random.PRNGKey(0), inputs)
+    state1, losses = pipeline.train_step(state, batch, batch_idx=0,
+                                         rng=jax.random.PRNGKey(1))
+    for key in ('semantic_total_loss', 'instance_center_total_loss',
+                'dense_visual_embedding_total_loss', 'scene_total_loss',
+                'total_loss'):
+        assert np.isfinite(float(losses[key])), key
+    assert int(state1['step']) == 1

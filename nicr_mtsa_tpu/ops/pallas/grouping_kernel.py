@@ -19,7 +19,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 LANES = 128
-SUB = 8
+SUB = 64
 TILE_P = SUB * LANES      # pixels per grid step
 _BIG = 3.4e38
 

@@ -273,3 +273,13 @@ def test_learned_zeropad_upsampling_fused_equivalence():
         feature_group_count=C) + bias
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_config_presets_build():
+    import jax.numpy as jnp
+    from nicr_mtsa_tpu.configs import BENCH_CONFIGS
+    from nicr_mtsa_tpu.models.multi_task import build_model
+    for name, fn in BENCH_CONFIGS.items():
+        config = fn(input_size=(64, 64), dtype=jnp.float32)
+        model = build_model(config)
+        assert model is not None, name

@@ -36,6 +36,7 @@ class ToDeviceArrays(PreprocessingBase):
             elif 1 == value.ndim and key not in (
                 'dense_visual_embedding_lut', 'image_embedding',
                 'panoptic_segment_table', 'panoptic_segment_table_fullres',
+                'panoptic_gt_angle_table', 'panoptic_gt_angle_table_valid',
             ):
                 raise ValueError(f"Cannot handle entry '{key}' with "
                                  f"shape '{value.shape}'")

@@ -115,6 +115,22 @@ class PanopticTargetGenerator(PreprocessingBase):
                 ids_f[:self._segment_table_size]
             sample['panoptic_segment_table_fullres'] = table_f
 
+            # per-slot GT orientation angles aligned to the fullres
+            # segment table: lets the fused eval step compute the
+            # orientation MAE fully on device
+            # (tasks/panoptic.update_metric_states)
+            if 'orientations' in sample:
+                angles = np.zeros((self._segment_table_size,), np.float32)
+                valid = np.zeros((self._segment_table_size,), bool)
+                for slot, pan_id in enumerate(table_f):
+                    ins_id = id_dict_fullres.get(int(pan_id))
+                    if ins_id is not None \
+                            and ins_id in sample['orientations']:
+                        angles[slot] = float(sample['orientations'][ins_id])
+                        valid[slot] = True
+                sample['panoptic_gt_angle_table'] = angles
+                sample['panoptic_gt_angle_table_valid'] = valid
+
         return sample, {
             'thing_semantic_classes': thing_ids,
             'segment_table_overflow': dyn_overflow,

@@ -112,9 +112,6 @@ class MultiTaskPipeline:
         self.optimizer = optimizer or optax.adam(1e-4)
 
         self._jit_train_step = jax.jit(self._train_step_impl)
-        self._jit_val_forward = jax.jit(
-            self._val_forward_impl, static_argnames=('meta_key',))
-        self._val_forward_cache = {}
 
     # --- init ---------------------------------------------------------------
     def init_variables(self, rng, example_inputs):
@@ -239,7 +236,7 @@ class MultiTaskPipeline:
         return new_state, losses
 
     # --- validation ---------------------------------------------------------
-    def _val_forward_impl(self, params, batch_stats, batch, meta_key=None):
+    def _val_forward_impl(self, params, batch_stats, batch):
         inputs = self.model_inputs(batch)
         predictions, _ = self.apply_model(
             params, batch_stats, inputs, train=False)

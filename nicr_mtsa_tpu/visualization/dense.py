@@ -49,8 +49,8 @@ def visualize_heatmap(heatmap_img: np.ndarray,
     hi = float(x.max()) if max_ is None else float(max_)
     x = np.clip((x - lo) / max(hi - lo, 1e-12), 0.0, 1.0)
     try:
-        import matplotlib.cm as mcm
-        rgba = mcm.get_cmap(cmap)(x)
+        import matplotlib
+        rgba = matplotlib.colormaps[cmap](x)
         return (rgba[..., :3] * 255).astype(np.uint8)
     except Exception:
         pos = x * (len(_FALLBACK_CMAP) - 1)

@@ -101,7 +101,7 @@ def main():
     if args.batch_size:
         sizes = [args.batch_size]
     else:
-        sizes = [2] if args.quick else [8, 16, 32]
+        sizes = [2] if args.quick else [16, 32, 64]
 
     best = 0.0
     for bs in sizes:

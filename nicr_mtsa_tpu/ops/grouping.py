@@ -106,8 +106,13 @@ def instance_areas(segmentation: jnp.ndarray, top_k: int) -> jnp.ndarray:
     One-hot matmul instead of bincount (TPU-friendly)."""
     B = segmentation.shape[0]
     flat = segmentation.reshape(B, -1)
-    onehot = jax.nn.one_hot(flat, top_k + 1, dtype=jnp.float32)
-    return jnp.sum(onehot, axis=1).astype(jnp.int32)
+    # bf16 one-hot halves HBM traffic; f32 accumulation keeps counts
+    # exact (< 2^24)
+    onehot = jax.nn.one_hot(flat, top_k + 1, dtype=jnp.bfloat16)
+    counts = jnp.einsum('bpk,p->bk', onehot,
+                        jnp.ones((flat.shape[1],), jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+    return counts.astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=(

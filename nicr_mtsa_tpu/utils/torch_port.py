@@ -123,3 +123,81 @@ def port_resnet_state_dict(
             stats[name] = block_s
 
     return {'params': params, 'batch_stats': stats}
+
+
+# --- Swin Transformer porting ------------------------------------------------
+
+def _dense(weight_oi) -> np.ndarray:
+    """torch Linear (out, in) -> flax Dense (in, out)."""
+    return _np(weight_oi).T
+
+
+def port_swin_state_dict(
+    state_dict: Dict[str, Any],
+    depths: Tuple[int, ...] = (2, 2, 6, 2),
+) -> Dict[str, Any]:
+    """torchvision-style Swin state dict -> flax params for
+    models/backbones/swin.SwinBackbone (v1).
+
+    torchvision layout: features.0 = patch embed (conv + LN);
+    features.{1,3,5,7} = block stages; features.{2,4,6} = patch
+    mergings; final `norm`. Patch-merging neighbor order differs
+    (torchvision concatenates (0,0),(1,0),(0,1),(1,1); this framework
+    uses row-major (0,0),(0,1),(1,0),(1,1)), so the reduction weight's
+    input blocks are permuted accordingly."""
+    state = clean_state_dict_keys(state_dict)
+    params: Dict[str, Any] = {}
+
+    # patch embed
+    params['patch_embed'] = {
+        'proj': {'kernel': _conv(state['features.0.0.weight']),
+                 'bias': _np(state['features.0.0.bias'])},
+        'norm': {'scale': _np(state['features.0.2.weight']),
+                 'bias': _np(state['features.0.2.bias'])},
+    }
+
+    for stage, depth in enumerate(depths):
+        t_stage = 1 + 2 * stage
+        for b in range(depth):
+            t = f'features.{t_stage}.{b}'
+            params[f'layer{stage + 1}_block{b}'] = {
+                'norm1': {'scale': _np(state[f'{t}.norm1.weight']),
+                          'bias': _np(state[f'{t}.norm1.bias'])},
+                'norm2': {'scale': _np(state[f'{t}.norm2.weight']),
+                          'bias': _np(state[f'{t}.norm2.bias'])},
+                'attn': {
+                    'qkv': {'kernel': _dense(state[f'{t}.attn.qkv.weight']),
+                            'bias': _np(state[f'{t}.attn.qkv.bias'])},
+                    'proj': {'kernel':
+                             _dense(state[f'{t}.attn.proj.weight']),
+                             'bias': _np(state[f'{t}.attn.proj.bias'])},
+                    'relative_position_bias_table': _np(
+                        state[f'{t}.attn.relative_position_bias_table']),
+                },
+                'mlp_fc1': {'kernel': _dense(state[f'{t}.mlp.0.weight']),
+                            'bias': _np(state[f'{t}.mlp.0.bias'])},
+                'mlp_fc2': {'kernel': _dense(state[f'{t}.mlp.3.weight']),
+                            'bias': _np(state[f'{t}.mlp.3.bias'])},
+            }
+        if stage < 3:
+            t = f'features.{2 + 2 * stage}'
+            red = _dense(state[f'{t}.reduction.weight'])   # (4C, 2C)
+            C = red.shape[0] // 4
+            # neighbor-order permutation (see docstring)
+            blocks = [red[0:C], red[2 * C:3 * C], red[C:2 * C],
+                      red[3 * C:4 * C]]
+            red = np.concatenate(blocks, axis=0)
+            norm_scale = _np(state[f'{t}.norm.weight'])
+            norm_bias = _np(state[f'{t}.norm.bias'])
+            ns = np.concatenate([norm_scale[0:C], norm_scale[2*C:3*C],
+                                 norm_scale[C:2*C], norm_scale[3*C:4*C]])
+            nb = np.concatenate([norm_bias[0:C], norm_bias[2*C:3*C],
+                                 norm_bias[C:2*C], norm_bias[3*C:4*C]])
+            params[f'merge{stage + 1}'] = {
+                'reduction': {'kernel': red},
+                'norm': {'scale': ns, 'bias': nb},
+            }
+
+    params['norm'] = {'scale': _np(state['norm.weight']),
+                      'bias': _np(state['norm.bias'])}
+    return {'params': params}

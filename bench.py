@@ -22,7 +22,10 @@ def main():
     parser.add_argument('--quick', action='store_true',
                         help='tiny model + few iters (smoke test)')
     parser.add_argument('--batch-size', type=int, default=0,
-                        help='0 = sweep {8, 16, 32} and report best')
+                        help='0 = the known-good default (64); use '
+                             '--sweep for a batch-size sweep')
+    parser.add_argument('--sweep', action='store_true',
+                        help='sweep batch sizes {32, 64, 128}')
     parser.add_argument('--iters', type=int, default=20)
     parser.add_argument('--cpu', action='store_true')
     args = parser.parse_args()
@@ -100,8 +103,13 @@ def main():
     iters = 3 if args.quick else args.iters
     if args.batch_size:
         sizes = [args.batch_size]
+    elif args.quick:
+        sizes = [2]
+    elif args.sweep:
+        sizes = [32, 64, 128]
     else:
-        sizes = [2] if args.quick else [16, 32, 64]
+        # single compile keeps the driver's bench run fast
+        sizes = [64]
 
     best = 0.0
     for bs in sizes:

@@ -22,10 +22,10 @@ def main():
     parser.add_argument('--quick', action='store_true',
                         help='tiny model + few iters (smoke test)')
     parser.add_argument('--batch-size', type=int, default=0,
-                        help='0 = the known-good default (64); use '
+                        help='0 = the known-good default (128); use '
                              '--sweep for a batch-size sweep')
     parser.add_argument('--sweep', action='store_true',
-                        help='sweep batch sizes {32, 64, 128}')
+                        help='sweep batch sizes {64, 128, 256}')
     parser.add_argument('--iters', type=int, default=20)
     parser.add_argument('--cpu', action='store_true')
     args = parser.parse_args()
@@ -106,10 +106,10 @@ def main():
     elif args.quick:
         sizes = [2]
     elif args.sweep:
-        sizes = [32, 64, 128]
+        sizes = [64, 128, 256]
     else:
         # single compile keeps the driver's bench run fast
-        sizes = [64]
+        sizes = [128]
 
     best = 0.0
     for bs in sizes:

@@ -183,3 +183,24 @@ def test_encoder_fusion_variants(fusion, dest):
                                    rtol=1e-6)
         np.testing.assert_array_equal(np.asarray(out['depth']),
                                       np.asarray(x['depth']))
+
+
+def test_checkpoint_save_load_roundtrip(tmp_path):
+    from nicr_mtsa_tpu.parallel.checkpoint import (
+        load_checkpoint, save_checkpoint,
+    )
+    state = {
+        'params': {'dense': {'kernel': jnp.ones((4, 3)),
+                             'bias': jnp.zeros((3,))}},
+        'step': jnp.asarray(7, jnp.int32),
+    }
+    extra = {'epoch': 2, 'dwa': {'weights': {'a': 1.5}}}
+    path = save_checkpoint(str(tmp_path / 'ckpt'), state, extra=extra)
+    loaded, loaded_extra = load_checkpoint(path)
+
+    np.testing.assert_array_equal(
+        np.asarray(loaded['params']['dense']['kernel']),
+        np.ones((4, 3)))
+    assert int(np.asarray(loaded['step'])) == 7
+    assert loaded_extra['epoch'] == 2
+    assert loaded_extra['dwa']['weights']['a'] == 1.5

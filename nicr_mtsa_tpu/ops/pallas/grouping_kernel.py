@@ -56,6 +56,7 @@ def group_pixels_pallas(
     centers_yx: jnp.ndarray,  # (B, K, 2) float32
     centers_valid: jnp.ndarray,  # (B, K) bool
     foreground: jnp.ndarray,     # (B, P) bool
+    interpret: bool = False,
 ):
     """Return (ids (B, P) int32 in [0, K], min_d2 (B, P) float32)."""
     B, P = loc_y.shape
@@ -95,6 +96,7 @@ def group_pixels_pallas(
             jax.ShapeDtypeStruct((B, R, SUB, LANES), jnp.int32),
             jax.ShapeDtypeStruct((B, R, SUB, LANES), jnp.float32),
         ),
+        interpret=interpret,
     )(cy[:, None, :], cx[:, None, :],
       fold(loc_y.astype(jnp.float32)), fold(loc_x.astype(jnp.float32)),
       fold(foreground.astype(jnp.int32)))

@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 
 from ..data.preprocessing.resize import get_fullres_key
-from ..ops.lookup import max_and_argmax
+from ..ops.pallas.semantic_reduce import semantic_score_idx
 from .base import DensePostprocessingBase
 
 
@@ -30,11 +30,7 @@ class SemanticPostprocessing(DensePostprocessingBase):
         # downstream consumer actually reads 'semantic_softmax_scores'
         # (XLA dead-code-eliminates it otherwise -- it cost ~11 ms per
         # batch-32 step at 480x640x40)
-        def score_idx(logits):
-            m, idx = max_and_argmax(logits, axis=-1)
-            lse = jax.scipy.special.logsumexp(
-                logits.astype(jnp.float32), axis=-1)
-            return jnp.exp(m.astype(jnp.float32) - lse), idx
+        score_idx = semantic_score_idx
 
         score, idx = score_idx(output)
         r_dict.update({

@@ -194,3 +194,77 @@ def test_intersection_matrix():
     for g, p in zip(gt[0], pred[0]):
         brute[g, p] += 1
     np.testing.assert_array_equal(m[0], brute)
+
+
+class TestPallasKernelsInterpret:
+    """Interpret-mode parity of the Pallas TPU kernels against the XLA
+    fallback formulations (on-TPU agreement was additionally verified
+    on real hardware, see PERF.md)."""
+
+    def test_semantic_score_idx_matches_xla(self):
+        from nicr_mtsa_tpu.ops.pallas.semantic_reduce import (
+            semantic_score_idx, semantic_score_idx_pallas,
+        )
+        rng = np.random.default_rng(0)
+        logits = jnp.asarray(
+            rng.normal(size=(2, 16, 128, 11)).astype(np.float32) * 4.0,
+            jnp.bfloat16)
+
+        score_p, idx_p = semantic_score_idx_pallas(
+            logits, block_h=8, interpret=True)
+        score_x, idx_x = semantic_score_idx(logits, backend='xla')
+
+        np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_x))
+        np.testing.assert_allclose(np.asarray(score_p),
+                                   np.asarray(score_x), rtol=1e-5)
+
+    def test_semantic_score_idx_tie_break_first(self):
+        from nicr_mtsa_tpu.ops.pallas.semantic_reduce import (
+            semantic_score_idx_pallas,
+        )
+        logits = np.zeros((1, 8, 128, 5), np.float32)
+        logits[..., 2] = 1.0
+        logits[..., 4] = 1.0        # tie with class 2 -> first wins
+        _, idx = semantic_score_idx_pallas(jnp.asarray(logits),
+                                           block_h=8, interpret=True)
+        assert (np.asarray(idx) == 2).all()
+
+    def test_group_pixels_pallas_matches_xla(self):
+        from nicr_mtsa_tpu.ops.grouping import group_pixels
+        from nicr_mtsa_tpu.ops.pallas.grouping_kernel import (
+            group_pixels_pallas,
+        )
+        rng = np.random.default_rng(1)
+        B, H, W, K = 2, 16, 128, 7
+        centers_yx = rng.integers(0, (H, W), (B, K, 2)).astype(np.int32)
+        centers_valid = rng.random((B, K)) > 0.3
+        offset = rng.normal(size=(B, H, W, 2)).astype(np.float32) * 3
+        fg = rng.random((B, H, W)) > 0.4
+
+        ids_x = group_pixels(jnp.asarray(centers_yx),
+                             jnp.asarray(centers_valid),
+                             jnp.asarray(offset), jnp.asarray(fg),
+                             backend='xla')
+
+        yy, xx = np.mgrid[:H, :W].astype(np.float32)
+        loc_y = (yy[None] + offset[..., 0]).reshape(B, H * W)
+        loc_x = (xx[None] + offset[..., 1]).reshape(B, H * W)
+        ids_p, _ = group_pixels_pallas(
+            jnp.asarray(loc_y), jnp.asarray(loc_x),
+            jnp.asarray(centers_yx, jnp.float32),
+            jnp.asarray(centers_valid),
+            jnp.asarray(fg.reshape(B, H * W)), interpret=True)
+
+        np.testing.assert_array_equal(
+            np.asarray(ids_p).reshape(B, H, W), np.asarray(ids_x))
+
+    def test_group_pixels_pallas_no_valid_centers(self):
+        from nicr_mtsa_tpu.ops.pallas.grouping_kernel import (
+            group_pixels_pallas,
+        )
+        B, P, K = 1, 8192, 4
+        ids, _ = group_pixels_pallas(
+            jnp.zeros((B, P)), jnp.zeros((B, P)),
+            jnp.zeros((B, K, 2)), jnp.zeros((B, K), bool),
+            jnp.ones((B, P), bool), interpret=True)
+        assert (np.asarray(ids) == 0).all()

@@ -66,6 +66,35 @@ def nms_keep_mask(
     return keep & border
 
 
+def chunked_top_k(flat: jnp.ndarray, k: int):
+    """Exact top-k over the last axis via hierarchical selection
+    (per-chunk top-k, then a merge over the C*k survivors).
+
+    Exactness incl. tie order: the global top-k is a subset of the
+    union of per-chunk top-k's, and positions in the merged array are
+    monotone in the original flat index (chunk-major, rank ties broken
+    by index inside lax.top_k), so the merge's lowest-index tie-break
+    matches the single-call semantics.
+
+    NOT used in get_instance_centers: inside the fused inference
+    program the chunking reshape relayouts the batch-minor input and
+    loses more than the smaller sorts save (measured 608 -> 535
+    frames/s, PERF.md). Useful standalone on row-major inputs."""
+    B, N = flat.shape
+    n_chunks = next((c for c in (16, 8, 4, 2)
+                     if N % c == 0 and N // c >= k), 1)
+    if n_chunks == 1:
+        return jax.lax.top_k(flat, k)
+
+    chunk = N // n_chunks
+    s1, i1 = jax.lax.top_k(flat.reshape(B, n_chunks, chunk), k)
+    i1 = i1 + (jnp.arange(n_chunks, dtype=i1.dtype) * chunk)[None, :, None]
+    s1 = s1.reshape(B, n_chunks * k)
+    i1 = i1.reshape(B, n_chunks * k)
+    scores, sel = jax.lax.top_k(s1, k)
+    return scores, jnp.take_along_axis(i1, sel, axis=1)
+
+
 @partial(jax.jit, static_argnames=('threshold', 'kernel_size',
                                    'top_k', 'use_foreground_mask'))
 def get_instance_centers(
@@ -94,6 +123,10 @@ def get_instance_centers(
         scores_map = jnp.where(fg, scores_map, -1.0)
 
     flat = scores_map.reshape(B, H * W)
+    # single top_k, NOT chunked_top_k: inside the fused inference
+    # program the chunked variant's (B, C, N/C) reshape relayouts the
+    # batch-minor scores map and costs far more than it saves
+    # (608 -> 535 frames/s at the bench shape, PERF.md)
     scores, flat_idx = jax.lax.top_k(flat, top_k)
 
     valid = scores > 0.0

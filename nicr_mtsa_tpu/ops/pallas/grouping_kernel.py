@@ -39,8 +39,13 @@ def _make_kernel(n_centers: int):
             return (jnp.where(better, d2, min_d2),
                     jnp.where(better, j, arg))
 
+        # arg starts at -1: invalid centers sit at +BIG so their d2
+        # overflows to inf and never beats the BIG init -- a pixel only
+        # gets arg >= 0 if some VALID center exists, so `arg + 1` is
+        # already 0 (background) when there are no valid centers and no
+        # host-side any_valid epilogue is needed
         init = (jnp.full((SUB, LANES), _BIG, jnp.float32),
-                jnp.full((SUB, LANES), n_centers, jnp.int32))
+                jnp.full((SUB, LANES), -1, jnp.int32))
         min_d2, arg = jax.lax.fori_loop(0, n_centers, body, init)
 
         fg = fg_ref[0, 0]
@@ -103,7 +108,4 @@ def group_pixels_pallas(
 
     ids = ids.reshape(B, P_pad)[:, :P]
     mind2 = mind2.reshape(B, P_pad)[:, :P]
-    # no valid centers at all -> everything background
-    any_valid = jnp.any(centers_valid, axis=1)[:, None]
-    ids = jnp.where(any_valid, ids, 0)
-    return jnp.minimum(ids, K), mind2
+    return ids, mind2

@@ -268,3 +268,21 @@ class TestPallasKernelsInterpret:
             jnp.zeros((B, K, 2)), jnp.zeros((B, K), bool),
             jnp.ones((B, P), bool), interpret=True)
         assert (np.asarray(ids) == 0).all()
+
+
+def test_chunked_top_k_matches_single_call():
+    from nicr_mtsa_tpu.ops.nms import chunked_top_k
+    rng = np.random.default_rng(7)
+    # heavy ties (quantized values) to stress tie-order equivalence
+    flat = jnp.asarray(
+        (rng.integers(0, 50, (4, 4096)) / 50.0).astype(np.float32))
+    s_c, i_c = chunked_top_k(flat, 64)
+    import jax as _jax
+    s_1, i_1 = _jax.lax.top_k(flat, 64)
+    np.testing.assert_array_equal(np.asarray(s_c), np.asarray(s_1))
+    np.testing.assert_array_equal(np.asarray(i_c), np.asarray(i_1))
+
+    # non-divisible length falls back to the single call
+    s_c2, i_c2 = chunked_top_k(flat[:, :4093], 64)
+    s_12, i_12 = _jax.lax.top_k(flat[:, :4093], 64)
+    np.testing.assert_array_equal(np.asarray(i_c2), np.asarray(i_12))

@@ -291,3 +291,75 @@ def test_mae_metric():
     rad, deg = mae.compute()
     assert rad == pytest.approx(0.25, abs=1e-6)
     assert deg == pytest.approx(np.rad2deg(0.25), abs=1e-4)
+
+
+def _naive_pq_counts(target, pred, C, ignored, M):
+    """Independent dict-based PQ counting (TF-models semantics,
+    reference metric/pq.py:30-361): per-pair IoU with void-union
+    correction, IoU>0.5 matching, mostly-void FP forgiveness."""
+    tp = np.zeros(C); fn = np.zeros(C); fp = np.zeros(C)
+    iou_sum = np.zeros(C)
+    void_seg = ignored * M
+    for b in range(target.shape[0]):
+        t = target[b].ravel(); p = pred[b].ravel()
+        gt_area, pred_area, inter = {}, {}, {}
+        for g, q in zip(t, p):
+            gt_area[g] = gt_area.get(g, 0) + 1
+            pred_area[q] = pred_area.get(q, 0) + 1
+            inter[(g, q)] = inter.get((g, q), 0) + 1
+        # overlap of each pred seg with THE void segment id
+        r = {q: inter.get((void_seg, q), 0) for q in pred_area}
+        # overlap with ALL ignored-category gt segments
+        pio = {q: sum(v for (g, q2), v in inter.items()
+                      if q2 == q and g // M == ignored)
+               for q in pred_area}
+        gt_matched, pred_matched = set(), set()
+        for (g, q), n in inter.items():
+            if g // M != q // M:
+                continue
+            if g == 0 and q == void_seg:
+                continue
+            union = gt_area[g] + pred_area[q] - n - r[q]
+            if union <= 0:
+                continue
+            if n / union > 0.5:
+                cat = min(g // M, C - 1)
+                tp[cat] += 1
+                iou_sum[cat] += n / union
+                gt_matched.add(g); pred_matched.add(q)
+        for g, a in gt_area.items():
+            if g in gt_matched or g // M == ignored or a == 0:
+                continue
+            fn[min(g // M, C - 1)] += 1
+        for q, a in pred_area.items():
+            if q in pred_matched or a == 0:
+                continue
+            if pio[q] > 0.5 * a:
+                continue
+            fp[min(q // M, C - 1)] += 1
+    return tp, fn, fp, iou_sum
+
+
+@pytest.mark.parametrize('seed', [0, 1, 2, 3, 4])
+def test_pq_randomized_vs_naive(seed):
+    C, ignored, M = 4, 3, 8
+    rng = np.random.default_rng(seed)
+    B, H, W = 2, 24, 24
+
+    def random_panoptic():
+        # blocky maps: few segments, realistic overlaps
+        base = rng.integers(0, C * M, (B, 3, 3)).astype(np.int32)
+        return np.repeat(np.repeat(base, 8, axis=1), 8, axis=2)
+
+    target = random_panoptic()
+    pred = random_panoptic()
+
+    pq = _pq(C, ignored, M, [True, True, False, False])
+    pq.update(jnp.asarray(pred), jnp.asarray(target))
+
+    tp, fn, fp, iou_sum = _naive_pq_counts(target, pred, C, ignored, M)
+    np.testing.assert_array_equal(np.asarray(pq.state['tp_per_class']), tp)
+    np.testing.assert_array_equal(np.asarray(pq.state['fn_per_class']), fn)
+    np.testing.assert_array_equal(np.asarray(pq.state['fp_per_class']), fp)
+    np.testing.assert_allclose(np.asarray(pq.state['iou_per_class']),
+                               iou_sum, rtol=1e-5)

@@ -22,7 +22,7 @@ def main():
     parser.add_argument('--quick', action='store_true',
                         help='tiny model + few iters (smoke test)')
     parser.add_argument('--batch-size', type=int, default=0,
-                        help='0 = the known-good default (128); use '
+                        help='0 = the known-good default (256); use '
                              '--sweep for a batch-size sweep')
     parser.add_argument('--sweep', action='store_true',
                         help='sweep batch sizes {64, 128, 256}')
@@ -108,8 +108,9 @@ def main():
     elif args.sweep:
         sizes = [64, 128, 256]
     else:
-        # single compile keeps the driver's bench run fast
-        sizes = [128]
+        # single compile keeps the driver's bench run fast; 256 is the
+        # measured throughput sweet spot (see PERF.md)
+        sizes = [256]
 
     best = 0.0
     for bs in sizes:

@@ -30,15 +30,24 @@ def make_sharded_train_step(pipeline, mesh: Mesh, axis_name: str = 'data'):
     )
 
 
-def make_sharded_eval_forward(pipeline, mesh: Mesh, axis_name: str = 'data'):
+def make_sharded_eval_forward(pipeline, mesh: Mesh, axis_name: str = 'data',
+                              static_batch: Optional[Dict] = None):
     """Sharded forward + postprocessing for evaluation; per-image
     postprocessing (NMS/grouping/merge) is embarrassingly parallel
-    over the batch so it shards cleanly over `data`."""
+    over the batch so it shards cleanly over `data`.
+
+    Non-array batch entries (the `_applied_preprocessing` provenance
+    meta with its static crop slices) cannot be jit inputs; pass them
+    via `static_batch` -- they are closed over, mirroring
+    `MultiTaskPipeline.make_fused_eval_step`."""
     repl = replicated(mesh)
     data = batch_sharding(mesh, axis_name)
+    static_batch = dict(static_batch or {})
 
     def _fwd(params, batch_stats, batch):
-        return pipeline._val_forward_impl(params, batch_stats, batch)
+        full_batch = dict(batch)
+        full_batch.update(static_batch)
+        return pipeline._val_forward_impl(params, batch_stats, full_batch)
 
     return jax.jit(_fwd, in_shardings=(repl, repl, data),
                    out_shardings=data)

@@ -55,3 +55,82 @@ def test_dryrun_multichip_four_devices():
     train step (forward, losses, grads, update) with sharded batch."""
     import __graft_entry__
     __graft_entry__.dryrun_multichip(4)
+
+
+def test_sharded_eval_forward_matches_unsharded():
+    """Forward + postprocessing sharded over 4 devices == the
+    single-device result (postprocessing is per-image, so the data
+    sharding must not change anything)."""
+    from nicr_mtsa_tpu.data.preprocessing.base import (
+        APPLIED_PREPROCESSING_KEY,
+    )
+    from nicr_mtsa_tpu.models.multi_task import (
+        MultiTaskModelConfig, build_model,
+    )
+    from nicr_mtsa_tpu.parallel.train import make_sharded_eval_forward
+    from nicr_mtsa_tpu.pipeline import (
+        MultiTaskPipeline, default_postprocessors,
+    )
+    from nicr_mtsa_tpu.tasks import SceneTaskHelper, SemanticTaskHelper
+
+    H, W = 32, 32
+    config = MultiTaskModelConfig(
+        tasks=('semantic', 'scene'),
+        backbone_rgbd='resnet18', backbone_rgb=None, backbone_depth=None,
+        resnet_block='basicblock',
+        context_n_channels=32,
+        decoder_n_channels=(16, 16, 16), decoder_n_blocks=1,
+        upsampling='bilinear', prediction_upsampling='bilinear',
+        input_size=(H, W), semantic_n_classes=4, scene_n_classes=3,
+    )
+    model = build_model(config)
+    pipeline = MultiTaskPipeline(
+        model=model,
+        postprocessors=default_postprocessors(
+            tasks=config.tasks,
+            semantic_classes_is_thing=(True, True, False, False)),
+        task_helpers={
+            'semantic': SemanticTaskHelper(n_classes=4),
+            'scene': SceneTaskHelper(n_classes=3),
+        },
+    )
+
+    rng = np.random.default_rng(3)
+    B = 4
+    batch = {
+        'rgbd': jnp.asarray(rng.normal(size=(B, H, W, 4)), jnp.float32),
+        'rgb_fullres': jnp.asarray(
+            rng.integers(0, 255, (B, H, W, 3)), jnp.uint8),
+    }
+    static_batch = {
+        APPLIED_PREPROCESSING_KEY: [[{
+            'type': 'Resize',
+            'valid_region_slice_y': slice(0, H),
+            'valid_region_slice_x': slice(0, W),
+        }]],
+    }
+
+    state = pipeline.create_train_state(
+        jax.random.PRNGKey(0), pipeline.model_inputs(batch))
+
+    # unsharded reference
+    full = dict(batch)
+    full.update(static_batch)
+    ref = pipeline._val_forward_impl(
+        state['params'], state['batch_stats'], full)
+
+    mesh = make_mesh(4)
+    fwd = make_sharded_eval_forward(pipeline, mesh,
+                                    static_batch=static_batch)
+    out = fwd(replicate(state, mesh)['params'],
+              replicate(state, mesh)['batch_stats'],
+              shard_batch(batch, mesh))
+
+    ref_sem = np.asarray(ref['semantic_segmentation_idx'])
+    out_sem = np.asarray(out['semantic_segmentation_idx'])
+    np.testing.assert_array_equal(out_sem, ref_sem)
+    np.testing.assert_allclose(
+        np.asarray(out['scene_class_score']),
+        np.asarray(ref['scene_class_score']), rtol=1e-5)
+    assert out['semantic_segmentation_idx'].sharding.is_equivalent_to(
+        batch_sharding(mesh), ndim=3)

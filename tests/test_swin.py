@@ -107,3 +107,109 @@ def test_swin_encoder_and_train_mode():
                         rngs={'dropout': jax.random.PRNGKey(3)})
     assert not np.allclose(np.asarray(out1['rgb']),
                            np.asarray(out2['rgb']))
+
+
+def test_swin_block_vs_bruteforce_numpy():
+    """Shifted-window attention block vs a token-by-token numpy
+    computation using the same parameters: validates windowing, cyclic
+    shift, attention masking, relative-position-bias indexing, scaling,
+    and the MLP residual -- independently of the vectorized
+    implementation."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from nicr_mtsa_tpu.models.backbones.swin import SwinBlock
+
+    H = W = 8
+    C, h, ws, shift = 8, 2, 4, 2
+    d = C // h
+    N = ws * ws
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(1, H, W, C)).astype(np.float32)
+
+    block = SwinBlock(dim=C, n_heads=h, window_size=ws, shift=shift,
+                      mlp_ratio=2.0)
+    variables = block.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out = np.asarray(block.apply(variables, jnp.asarray(x), train=False))
+
+    p = jax.tree_util.tree_map(np.asarray, variables['params'])
+
+    def ln(z, prm, eps=1e-6):
+        m = z.mean(-1, keepdims=True)
+        v = z.var(-1, keepdims=True)
+        return (z - m) / np.sqrt(v + eps) * prm['scale'] + prm['bias']
+
+    def gelu_tanh(z):
+        return 0.5 * z * (1.0 + np.tanh(
+            np.sqrt(2.0 / np.pi) * (z + 0.044715 * z ** 3)))
+
+    # region ids for the shift mask, derived on the (post-roll) window
+    # grid with boundaries [0, H-ws), [H-ws, H-shift), [H-shift, H):
+    # these boundaries are engineered so that region changes align
+    # exactly with the wrap points inside rolled windows -- e.g. the
+    # rolled window (0,0) holds ORIGINAL rows 2..5, which are
+    # contiguous, and correctly gets full attention (its grid rows
+    # 0..3 all fall in region 0), while the last window's rolled rows
+    # 4..7 hold original {6,7,0,1} and split into regions {1,1,2,2}
+    def region(coord, size):
+        return 0 if coord < size - ws else (1 if coord < size - shift
+                                            else 2)
+
+    # relative position bias lookup, recomputed by hand
+    table = p['attn']['relative_position_bias_table']   # ((2ws-1)^2, h)
+
+    def rel_bias(n, m):
+        yn, xn = divmod(n, ws)
+        ym, xm = divmod(m, ws)
+        idx = (yn - ym + ws - 1) * (2 * ws - 1) + (xn - xm + ws - 1)
+        return table[idx]                               # (h,)
+
+    y = ln(x[0], p['norm1'])                            # (H, W, C)
+    y = np.roll(y, (-shift, -shift), axis=(0, 1))
+    attn_out = np.zeros_like(y)
+
+    Wqkv, bqkv = p['attn']['qkv']['kernel'], p['attn']['qkv']['bias']
+    Wproj, bproj = p['attn']['proj']['kernel'], p['attn']['proj']['bias']
+
+    for wi in range(H // ws):
+        for wj in range(W // ws):
+            tok = y[wi * ws:(wi + 1) * ws,
+                    wj * ws:(wj + 1) * ws].reshape(N, C)
+            qkv = tok @ Wqkv + bqkv
+            q, k, v = qkv[:, :C], qkv[:, C:2 * C], qkv[:, 2 * C:]
+
+            # region ids of this window's tokens (window-grid coords)
+            ids = []
+            for n in range(N):
+                yy = wi * ws + n // ws
+                xx = wj * ws + n % ws
+                ids.append((region(yy, H), region(xx, W)))
+
+            o = np.zeros((N, C))
+            for hh in range(h):
+                qh = q[:, hh * d:(hh + 1) * d]
+                kh = k[:, hh * d:(hh + 1) * d]
+                vh = v[:, hh * d:(hh + 1) * d]
+                logits = qh @ kh.T / np.sqrt(d)
+                for n in range(N):
+                    for m in range(N):
+                        logits[n, m] += rel_bias(n, m)[hh]
+                        if ids[n] != ids[m]:
+                            logits[n, m] += -100.0
+                a = np.exp(logits - logits.max(-1, keepdims=True))
+                a /= a.sum(-1, keepdims=True)
+                o[:, hh * d:(hh + 1) * d] = a @ vh
+            proj = o @ Wproj + bproj
+            attn_out[wi * ws:(wi + 1) * ws,
+                     wj * ws:(wj + 1) * ws] = proj.reshape(ws, ws, C)
+
+    attn_out = np.roll(attn_out, (shift, shift), axis=(0, 1))
+    x1 = x[0] + attn_out
+
+    z = ln(x1, p['norm2'])
+    z = gelu_tanh(z @ p['mlp_fc1']['kernel'] + p['mlp_fc1']['bias'])
+    z = z @ p['mlp_fc2']['kernel'] + p['mlp_fc2']['bias']
+    expected = x1 + z
+
+    np.testing.assert_allclose(out[0], expected, rtol=1e-4, atol=1e-4)

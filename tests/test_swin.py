@@ -213,3 +213,63 @@ def test_swin_block_vs_bruteforce_numpy():
     expected = x1 + z
 
     np.testing.assert_allclose(out[0], expected, rtol=1e-4, atol=1e-4)
+
+
+def test_swin_v2_attention_vs_bruteforce_numpy():
+    """Swin v2 window attention (cosine attention with learned logit
+    scale, log-CPB bias, res-post-norm lives in the block) vs explicit
+    numpy computation with the same parameters."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from nicr_mtsa_tpu.models.backbones.swin import (
+        WindowAttention, _log_cpb_coords,
+    )
+
+    C, h, ws = 8, 2, 4
+    d = C // h
+    N = ws * ws
+    Bw = 2
+
+    rng = np.random.default_rng(13)
+    x = rng.normal(size=(Bw, N, C)).astype(np.float32)
+
+    attn = WindowAttention(dim=C, n_heads=h, window_size=ws, v2=True)
+    variables = attn.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out = np.asarray(attn.apply(variables, jnp.asarray(x)))
+
+    p = jax.tree_util.tree_map(np.asarray, variables['params'])
+    Wqkv, bqkv = p['qkv']['kernel'], p['qkv']['bias']
+    Wproj, bproj = p['proj']['kernel'], p['proj']['bias']
+    ls = p['logit_scale']                                    # (h, 1, 1)
+
+    # continuous position bias: MLP over log-spaced rel coords
+    flat, idx = _log_cpb_coords(ws)
+    hidden = np.maximum(flat @ p['cpb_fc1']['kernel']
+                        + p['cpb_fc1']['bias'], 0.0)
+    cpb = hidden @ p['cpb_fc2']['kernel']                    # (T, h)
+    bias_nm = cpb[idx.reshape(-1)].reshape(N, N, h)
+    bias_nm = 16.0 / (1.0 + np.exp(-bias_nm))                # sigmoid*16
+
+    expected = np.zeros_like(x)
+    for b in range(Bw):
+        qkv = x[b] @ Wqkv + bqkv
+        q, k, v = qkv[:, :C], qkv[:, C:2 * C], qkv[:, 2 * C:]
+        o = np.zeros((N, C))
+        for hh in range(h):
+            qh = q[:, hh * d:(hh + 1) * d]
+            kh = k[:, hh * d:(hh + 1) * d]
+            vh = v[:, hh * d:(hh + 1) * d]
+            qh = qh / np.maximum(
+                np.linalg.norm(qh, axis=-1, keepdims=True), 1e-6)
+            kh = kh / np.maximum(
+                np.linalg.norm(kh, axis=-1, keepdims=True), 1e-6)
+            scale = np.exp(min(float(ls[hh, 0, 0]),
+                               float(np.log(1.0 / 0.01))))
+            logits = (qh @ kh.T) * scale + bias_nm[:, :, hh]
+            a = np.exp(logits - logits.max(-1, keepdims=True))
+            a /= a.sum(-1, keepdims=True)
+            o[:, hh * d:(hh + 1) * d] = a @ vh
+        expected[b] = o @ Wproj + bproj
+
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-4)

@@ -17,6 +17,90 @@ import time
 import numpy as np
 
 
+def run_train_bench(args, model, H, W, n_classes, is_thing, rng):
+    """Multi-task train-step throughput (forward + losses + grads +
+    adam update in one jit program)."""
+    import json
+    import time
+
+    import jax
+    import numpy as np
+    import optax
+
+    from nicr_mtsa_tpu.pipeline import (
+        MultiTaskPipeline, default_postprocessors, strip_non_arrays,
+    )
+    from nicr_mtsa_tpu.tasks import (
+        InstanceTaskHelper, SceneTaskHelper, SemanticTaskHelper,
+    )
+
+    n_with_void = n_classes + 1
+    is_thing_v = (False,) + tuple(is_thing)
+
+    pipeline = MultiTaskPipeline(
+        model=model,
+        postprocessors=default_postprocessors(
+            tasks=('semantic', 'instance', 'orientation', 'scene',
+                   'panoptic'),
+            semantic_classes_is_thing=is_thing,
+            top_k_instances=64),
+        task_helpers={
+            'semantic': SemanticTaskHelper(n_classes=n_classes),
+            'instance': InstanceTaskHelper(
+                semantic_n_classes=n_with_void,
+                semantic_classes_is_thing=is_thing_v,
+                top_k_instances=64),
+            'scene': SceneTaskHelper(n_classes=10),
+        },
+        optimizer=optax.adamw(1e-4),
+    )
+
+    B = args.batch_size or (2 if args.quick else 16)
+    batch = {
+        'rgb': rng.normal(size=(B, H, W, 3)).astype(np.float32),
+        'depth': rng.normal(size=(B, H, W, 1)).astype(np.float32),
+        'semantic': rng.integers(0, n_with_void, (B, H, W)).astype(
+            np.int32),
+        'instance_center': rng.random((B, H, W)).astype(np.float32),
+        'instance_offset': rng.normal(size=(B, H, W, 2)).astype(
+            np.float32),
+        'instance_foreground': rng.random((B, H, W)) > 0.5,
+        'instance_center_mask': rng.random((B, H, W)) > 0.3,
+        'orientation': rng.normal(size=(B, H, W, 2)).astype(np.float32),
+        'orientation_foreground': rng.random((B, H, W)) > 0.5,
+        'scene': rng.integers(1, 10, (B,)).astype(np.int32),
+    }
+    batch = strip_non_arrays(batch)
+    # place the batch on device ONCE -- numpy inputs would re-transfer
+    # ~hundreds of MB per step (measured 15x slowdown via the tunnel)
+    batch = jax.tree_util.tree_map(jax.device_put, batch)
+    jax.block_until_ready(batch)
+
+    state = pipeline.create_train_state(
+        jax.random.PRNGKey(0), pipeline.model_inputs(batch))
+
+    key = jax.random.PRNGKey(1)
+    state, _ = pipeline.train_step(state, batch, rng=key)   # compile
+    jax.block_until_ready(state)
+
+    iters = 3 if args.quick else args.iters
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, losses = pipeline.train_step(
+            state, batch, rng=jax.random.fold_in(key, i))
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+    fps = B * iters / dt
+    print(json.dumps({
+        'metric': 'multitask_train_frames_per_sec_per_chip_640x480'
+                  if not args.quick else
+                  'multitask_train_frames_per_sec_per_chip_quick',
+        'value': round(fps, 2),
+        'unit': 'frames/s/chip',
+        'vs_baseline': 0.0,     # no train-throughput baseline defined
+    }))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--quick', action='store_true',
@@ -28,6 +112,9 @@ def main():
                         help='sweep batch sizes {64, 128, 256}')
     parser.add_argument('--iters', type=int, default=20)
     parser.add_argument('--cpu', action='store_true')
+    parser.add_argument('--train', action='store_true',
+                        help='measure multi-task TRAIN step throughput '
+                             'instead of inference')
     args = parser.parse_args()
 
     import jax
@@ -77,6 +164,10 @@ def main():
     pipe = PanopticInferencePipeline(model, post)
 
     rng = np.random.default_rng(0)
+
+    if args.train:
+        run_train_bench(args, model, H, W, n_classes, is_thing, rng)
+        return
 
     def run(batch_size, iters):
         rgb = jnp.asarray(rng.integers(

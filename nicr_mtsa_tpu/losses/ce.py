@@ -36,14 +36,22 @@ class CrossEntropyLossSemantic(LossBase):
         tclip = jnp.clip(target_shifted, 0, n_classes - 1)
 
         logp = jax.nn.log_softmax(input_.astype(jnp.float32), axis=-1)
-        nll = -jnp.take_along_axis(logp, tclip[..., None], axis=-1)[..., 0]
+        # one-hot reduction instead of take_along_axis / weights[tclip]:
+        # XLA:TPU lowers big-index gathers to serialized scalar-core
+        # code (72.7 ms for the fullres selection at B16 -- PERF.md
+        # lesson 1); the one-hot select fuses into a vector reduce and
+        # is bit-exact (exactly one 1.0 term per pixel)
+        onehot = jax.nn.one_hot(tclip, n_classes, dtype=logp.dtype)
+        nll = -jnp.sum(logp * onehot, axis=-1)
         if self._label_smoothing > 0.0:
             ls = self._label_smoothing
             smooth = -jnp.mean(logp, axis=-1)
             nll = (1.0 - ls) * nll + ls * smooth
 
         if self._weights is not None:
-            nll = nll * self._weights[tclip]
+            pixel_w = jnp.sum(
+                onehot * self._weights.astype(logp.dtype), axis=-1)
+            nll = nll * pixel_w
 
         nll = jnp.where(valid, nll, 0.0)
         loss = jnp.sum(nll)
@@ -56,7 +64,6 @@ class CrossEntropyLossSemantic(LossBase):
         # NOTE: n_elements stays the non-void count, exactly like the
         # reference (ce.py:56-68) -- downstream accumulate_losses then
         # divides the already-normalized loss by the element count too.
-        weighted_pixel_sum = jnp.sum(
-            jnp.where(valid, self._weights[tclip], 0.0))
+        weighted_pixel_sum = jnp.sum(jnp.where(valid, pixel_w, 0.0))
         loss = loss / jnp.maximum(weighted_pixel_sum, 1e-12)
         return loss, n_elements

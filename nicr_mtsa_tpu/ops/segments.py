@@ -42,13 +42,25 @@ def unique_table(ids: jnp.ndarray, size: int) -> jnp.ndarray:
 def ids_to_slots(ids: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
     """Map pixel ids (B, P) to slots in a sorted table (B, S) via
     searchsorted; ids not in the table (incl. -1 padding) map to S."""
+    from .lookup import value_table_lookup
+
     S = table.shape[-1]
     # searchsorted over the batch: vmap keeps it a single fused kernel
     slot = jax.vmap(
         lambda t, i: jnp.searchsorted(t, i, side='left')
     )(table, ids)
     slot = jnp.clip(slot, 0, S - 1)
-    found = jnp.take_along_axis(table, slot, axis=-1) == ids
+    # membership check table[slot] == ids WITHOUT a big-index gather
+    # (scalar-core serialization, PERF.md lesson 1): two one-hot MXU
+    # lookups of the 16-bit halves -- each half < 2^16 stays exact in
+    # the f32 accumulation even though ids (and the 2^31-1 pad) exceed
+    # 2^24. -1 padding: lo half 65535 never matches the non-negative
+    # table halves.
+    ids32 = ids.astype(jnp.int32)
+    found = (
+        (value_table_lookup(slot, table & 0xFFFF) == (ids32 & 0xFFFF))
+        & (value_table_lookup(slot, table >> 16) == (ids32 >> 16))
+    )
     return jnp.where(found, slot, S)
 
 

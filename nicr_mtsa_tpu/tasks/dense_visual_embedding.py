@@ -11,6 +11,7 @@ Validation: mIoU of the text-based and visual-mean-based semantic
 retrievals against the full-resolution GT semantic."""
 from typing import Any, Dict, List, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -106,8 +107,13 @@ class DenseVisualEmbeddingTaskHelper(TaskHelperBase):
             valid = idx != 0
             B = pred.shape[0]
             flat_idx = idx.reshape(B, -1)
-            target = jnp.take_along_axis(
-                lut, flat_idx[..., None], axis=1)       # (B, P, D)
+            # one-hot MXU selection instead of a per-pixel LUT gather
+            # (scalar-core serialization, PERF.md lesson 1); the f32
+            # one-hot row has a single 1.0 so the selection is exact
+            oh = jax.nn.one_hot(flat_idx, lut.shape[1], dtype=jnp.float32)
+            target = jnp.einsum(
+                'bpl,bld->bpd', oh, lut.astype(jnp.float32),
+                preferred_element_type=jnp.float32)     # (B, P, D)
             p = pred.reshape(B, -1, embedding_dim)
             (per_elem, _), = self._loss([p], [target])
             if per_elem.ndim == 3:                      # l1/mse: (B,P,D)

@@ -101,6 +101,119 @@ def run_train_bench(args, model, H, W, n_classes, is_thing, rng):
     }))
 
 
+def run_eval_bench(args, model, H, W, n_classes, is_thing):
+    """Fused eval-step throughput: the full preproc-targets -> forward
+    -> postprocessing -> panoptic merge -> metric-state chain in one
+    jit program (the north-star description incl. metrics)."""
+    import json
+    import time
+
+    import jax
+    import numpy as np
+
+    from nicr_mtsa_tpu.data import mt_collate
+    from nicr_mtsa_tpu.data.preprocessing import (
+        Compose, FullResCloner, InstanceClearStuffIDs,
+        InstanceTargetGenerator, MultiscaleSupervisionGenerator,
+        NormalizeDepth, NormalizeRGB, OrientationTargetGenerator,
+        PanopticTargetGenerator, Resize, ToDeviceArrays,
+    )
+    from nicr_mtsa_tpu.data.preprocessing.base import (
+        APPLIED_PREPROCESSING_KEY,
+    )
+    from nicr_mtsa_tpu.pipeline import (
+        MultiTaskPipeline, default_postprocessors, strip_non_arrays,
+    )
+    from nicr_mtsa_tpu.tasks import (
+        InstanceTaskHelper, PanopticTaskHelper, SceneTaskHelper,
+        SemanticTaskHelper,
+    )
+    from nicr_mtsa_tpu.testing.preprocessing import get_dummy_sample
+
+    n_with_void = n_classes + 1
+    is_thing_v = (False,) + tuple(is_thing)
+
+    pipeline = MultiTaskPipeline(
+        model=model,
+        postprocessors=default_postprocessors(
+            tasks=('semantic', 'instance', 'orientation', 'scene',
+                   'panoptic'),
+            semantic_classes_is_thing=is_thing,
+            top_k_instances=64),
+        task_helpers={
+            'semantic': SemanticTaskHelper(n_classes=n_classes),
+            'instance': InstanceTaskHelper(
+                semantic_n_classes=n_with_void,
+                semantic_classes_is_thing=is_thing_v,
+                top_k_instances=64),
+            'panoptic': PanopticTaskHelper(
+                semantic_n_classes=n_with_void,
+                semantic_classes_is_thing=is_thing_v),
+            'scene': SceneTaskHelper(n_classes=10),
+        },
+    )
+
+    pre = Compose([
+        InstanceClearStuffIDs(semantic_classes_is_thing=is_thing_v),
+        FullResCloner(('rgb', 'depth', 'semantic', 'instance')),
+        Resize(height=H, width=W),
+        MultiscaleSupervisionGenerator(
+            downscales=(4, 8, 16, 32),
+            keys=('semantic', 'instance', 'orientations')),
+        InstanceTargetGenerator(
+            sigma=8, semantic_classes_is_thing=is_thing_v,
+            sigma_for_additional_downscales={4: 2, 8: 2, 16: 1, 32: 1}),
+        OrientationTargetGenerator(
+            semantic_classes_estimate_orientation=is_thing_v),
+        PanopticTargetGenerator(semantic_classes_is_thing=is_thing_v),
+        NormalizeRGB(),
+        NormalizeDepth(depth_mean=8000.0, depth_std=4000.0,
+                       raw_depth=True),
+        ToDeviceArrays(),
+    ])
+    B = args.batch_size or (2 if args.quick else 8)
+    samples = []
+    for i in range(B):
+        s = get_dummy_sample()
+        s['scene'] = (i % 9) + 1
+        samples.append(pre(s))
+    batch = mt_collate(samples)
+
+    static_batch = {
+        APPLIED_PREPROCESSING_KEY: batch[APPLIED_PREPROCESSING_KEY],
+    }
+    step = pipeline.make_fused_eval_step(static_batch)
+    arrays = jax.tree_util.tree_map(jax.device_put,
+                                    strip_non_arrays(batch))
+    jax.block_until_ready(arrays)
+    states = {name: helper.empty_metric_states()
+              for name, helper in pipeline.task_helpers.items()
+              if hasattr(helper, 'empty_metric_states')}
+
+    state = pipeline.create_train_state(
+        jax.random.PRNGKey(0), pipeline.model_inputs(arrays))
+    _, _, states = step(state['params'], state['batch_stats'],
+                        arrays, states)                  # compile
+    jax.block_until_ready(states)
+
+    iters = 3 if args.quick else args.iters
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        _, losses, states = step(state['params'], state['batch_stats'],
+                                 arrays, states)
+    jax.block_until_ready(states)
+    dt = time.perf_counter() - t0
+    fps = B * iters / dt
+    print(json.dumps({
+        'metric': 'multitask_eval_frames_per_sec_per_chip_640x480'
+                  if not args.quick else
+                  'multitask_eval_frames_per_sec_per_chip_quick',
+        'value': round(fps, 2),
+        'unit': 'frames/s/chip',
+        'vs_baseline': round(fps / 625.0, 4),
+    }))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--quick', action='store_true',
@@ -115,6 +228,10 @@ def main():
     parser.add_argument('--train', action='store_true',
                         help='measure multi-task TRAIN step throughput '
                              'instead of inference')
+    parser.add_argument('--eval', action='store_true',
+                        help='measure fused EVAL step throughput '
+                             '(forward + postproc + merge + PQ/mIoU/MAE '
+                             'metric states on device)')
     args = parser.parse_args()
 
     import jax
@@ -167,6 +284,9 @@ def main():
 
     if args.train:
         run_train_bench(args, model, H, W, n_classes, is_thing, rng)
+        return
+    if args.eval:
+        run_eval_bench(args, model, H, W, n_classes, is_thing)
         return
 
     def run(batch_size, iters):

@@ -266,6 +266,10 @@ def main():
         scene_n_classes=10,
         upsampling='learned-3x3-zeropad',
         prediction_upsampling='learned-3x3-zeropad',
+        # serving: fuse the final semantic upsample with argmax/score
+        # (ops/pallas/semantic_finisher.py) -- the (B, 480, 640, 40)
+        # logits tensor never touches HBM
+        defer_semantic_prediction_upsampling=not args.train,
         dtype=jnp.bfloat16,
     )
     model = build_model(config)

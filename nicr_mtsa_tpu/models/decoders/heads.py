@@ -25,6 +25,10 @@ class TaskHead(nn.Module):
     n_upsamplings: int = 0
     post: Optional[str] = None    # None | 'unit-length'
     dtype: Any = jnp.float32
+    # return the LAST prediction upsampling as DeferredUpsampling so
+    # postprocessing can fuse it with its reduction (serving path;
+    # parameter tree is unchanged, so checkpoints interchange)
+    defer_last_upsampling: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -32,9 +36,17 @@ class TaskHead(nn.Module):
         x = conv(self.n_channels_out, 3 if is_main_output else 1,
                  use_bias=True, dtype=self.dtype, name='conv')(x)
         for i in range(self.n_upsamplings):
+            defer = (self.defer_last_upsampling
+                     and i == self.n_upsamplings - 1)
+            if defer:
+                assert self.post is None, \
+                    'cannot defer upsampling under a post-op'
+                assert self.upsampling == 'learned-3x3-zeropad', \
+                    self.upsampling
             x = Upsampling(mode=self.upsampling,
                            n_channels=self.n_channels_out,
-                           dtype=self.dtype, name=f'upsample_{i}')(x)
+                           dtype=self.dtype, defer=defer,
+                           name=f'upsample_{i}')(x)
         if self.post == 'unit-length':
             x = unit_length(x)
         return x

@@ -10,12 +10,16 @@ from .heads import TaskHead
 
 class SemanticDecoder(DenseDecoderBase):
     n_classes: int = 40
+    # serving-path fusion hook: emit the final prediction upsampling
+    # as DeferredUpsampling (see ops/pallas/semantic_finisher.py)
+    defer_prediction_upsampling: bool = False
 
     def apply_task_head(self, x, train: bool):
         return TaskHead(
             n_channels_out=self.n_classes,
             upsampling=self.prediction_upsampling,
             n_upsamplings=int(log2(self.downsamplings[-1])),
+            defer_last_upsampling=self.defer_prediction_upsampling,
             dtype=self.dtype, name='task_head',
         )(x, train)
 
@@ -27,6 +31,7 @@ class SemanticDecoder(DenseDecoderBase):
 class SemanticMLPDecoder(MLPDecoderBase):
     n_classes: int = 40
     n_upsamplings: int = None
+    defer_prediction_upsampling: bool = False
 
     def apply_task_head(self, x, train: bool):
         n_up = self.n_upsamplings
@@ -36,5 +41,6 @@ class SemanticMLPDecoder(MLPDecoderBase):
             n_channels_out=self.n_classes,
             upsampling=self.prediction_upsampling,
             n_upsamplings=n_up,
+            defer_last_upsampling=self.defer_prediction_upsampling,
             dtype=self.dtype, name='task_head',
         )(x, train)

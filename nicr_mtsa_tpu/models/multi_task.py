@@ -59,6 +59,12 @@ class MultiTaskModelConfig:
     scene_n_classes: int = 10               # without void
     embedding_dim: int = 512
     instance_center_sigma: int = 8          # informational
+    # serving: return the semantic head's final prediction upsampling
+    # as DeferredUpsampling so postprocessing fuses it with the
+    # argmax/score reduction (ops/pallas/semantic_finisher.py); the
+    # parameter tree is unchanged, so checkpoints interchange with the
+    # non-deferred model
+    defer_semantic_prediction_upsampling: bool = False
     # compute
     dtype: Any = jnp.float32
 
@@ -178,8 +184,11 @@ def build_model(config: MultiTaskModelConfig) -> MultiTaskModel:
 
     if 'semantic' in tasks or 'panoptic' in tasks:
         cls = SemanticMLPDecoder if is_mlp else SemanticDecoder
-        semantic_decoder = cls(n_classes=c.semantic_n_classes,
-                               name='semantic_decoder', **common)
+        semantic_decoder = cls(
+            n_classes=c.semantic_n_classes,
+            defer_prediction_upsampling=(
+                c.defer_semantic_prediction_upsampling),
+            name='semantic_decoder', **common)
     if 'instance' in tasks or 'panoptic' in tasks:
         cls = InstanceMLPDecoder if is_mlp else InstanceDecoder
         instance_decoder = cls(

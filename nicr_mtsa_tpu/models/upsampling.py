@@ -3,12 +3,65 @@
 Reference model/upsampling.py:24-115. `learned-3x3` mimics bilinear
 interpolation: nearest x2 upscale followed by a depthwise 3x3 conv
 initialized to the bilinear kernel (replication padding; the
-`-zeropad` variant uses zero padding)."""
-from typing import Any, Optional, Tuple, Union
+`-zeropad` variant uses zero padding).
+
+`Upsampling(defer=True)` (learned-3x3-zeropad only) declares the same
+parameters but returns a `DeferredUpsampling` carrying (x, kernel,
+bias) instead of applying the conv -- consumers can then fuse the
+upsampling with their reduction (ops/pallas/semantic_finisher.py) or
+apply it verbatim via `apply_deferred_upsampling`."""
+from typing import Any, NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+
+
+class DeferredUpsampling(NamedTuple):
+    """A learned-3x3-zeropad x2 upsampling captured as data: apply via
+    `apply_deferred_upsampling` or fuse into a downstream kernel."""
+    x: Any            # (B, H, W, C) pre-upsampling features
+    kernel: Any       # (3, 3, 1, C) depthwise weights (f32 master)
+    bias: Any         # (C,) or None
+
+
+def _phase_combine(k, axis):
+    """(..., 3, ...) kernel axis -> the 4 zeropad-x2 phase rows
+    [K0, K0+K1, K1+K2, K2] (== flip(T @ K) for T = [[0,0,1],[0,1,1],
+    [1,1,0],[1,0,0]]), built with exact adds -- an einsum with the 0/1
+    T matrix routes through reduced-precision matmuls on some backends
+    (oneDNN CPU, bf16-pass TPU) and corrupts the weights by ~1e-3."""
+    k0, k1, k2 = (jax.lax.index_in_dim(k, i, axis, keepdims=True)
+                  for i in range(3))
+    return jnp.concatenate([k0, k0 + k1, k1 + k2, k2], axis=axis)
+
+
+def fused_zeropad_2x_kernel(kernel):
+    """3x3 depthwise kernel (3, 3, 1, C) -> the fused 4x4 kernel of
+    the input-dilated one-conv form (== flip(T W T^T), exactness-tested
+    against the two-op form in tests/test_models.py)."""
+    kt = _phase_combine(kernel.astype(jnp.float32), 0)
+    return _phase_combine(kt, 1)
+
+
+def learned_zeropad_2x(x, kernel, bias, dtype):
+    """The fused form of nearest-x2 + zero-padded depthwise 3x3: one
+    input-dilated depthwise conv with a 4x4 kernel."""
+    n = x.shape[-1]
+    kt = fused_zeropad_2x_kernel(kernel)
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), kt.astype(dtype),
+        (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        feature_group_count=n)
+    if bias is not None:
+        y = y + bias.astype(dtype)
+    return y
+
+
+def apply_deferred_upsampling(d: DeferredUpsampling, dtype=None):
+    return learned_zeropad_2x(d.x, d.kernel, d.bias,
+                              dtype or d.x.dtype)
 
 
 KNOWN_UPSAMPLING_METHODS = (
@@ -57,6 +110,9 @@ class Upsampling(nn.Module):
     scale_factor: Union[float, Tuple[float, float]] = 2.0
     use_bias: bool = True
     dtype: Any = jnp.float32
+    # declare params but return DeferredUpsampling instead of applying
+    # (learned-3x3-zeropad only; parameter tree stays identical)
+    defer: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -77,27 +133,17 @@ class Upsampling(nn.Module):
             assert (sfy, sfx) == (2.0, 2.0) or (sfy, sfx) == (2, 2)
             n = self.n_channels or x.shape[-1]
             if mode == 'learned-3x3-zeropad':
-                # fused form: nearest x2 + zero-padded depthwise 3x3 is
-                # EXACTLY an input-dilated depthwise conv with the 4x4
-                # kernel flip(T W T^T), T = [[0,0,1],[0,1,1],[1,1,0],
-                # [1,0,0]] -- one op, no 2x-upsampled intermediate
-                # (verified bit-wise against the two-op form)
+                # fused form: one input-dilated depthwise conv, no 2x
+                # intermediate (see learned_zeropad_2x)
                 kernel = self.param('kernel', _bilinear_kernel_init,
                                     (3, 3, 1, n), jnp.float32)
-                T = jnp.asarray([[0, 0, 1], [0, 1, 1],
-                                 [1, 1, 0], [1, 0, 0]], jnp.float32)
-                kt = jnp.einsum('ay,yxzc,bx->abzc', T, kernel, T)
-                kt = kt[::-1, ::-1]
-                y = jax.lax.conv_general_dilated(
-                    x.astype(self.dtype), kt.astype(self.dtype),
-                    (1, 1), ((2, 2), (2, 2)), lhs_dilation=(2, 2),
-                    dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-                    feature_group_count=n)
-                if self.use_bias:
-                    bias = self.param('bias', nn.initializers.zeros,
-                                      (n,), jnp.float32)
-                    y = y + bias.astype(self.dtype)
-                return y
+                bias = (self.param('bias', nn.initializers.zeros,
+                                   (n,), jnp.float32)
+                        if self.use_bias else None)
+                if self.defer:
+                    return DeferredUpsampling(x=x, kernel=kernel,
+                                              bias=bias)
+                return learned_zeropad_2x(x, kernel, bias, self.dtype)
             # replication-padding variant keeps the two-op form
             x = upsample_nearest_2x(x)
             x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),

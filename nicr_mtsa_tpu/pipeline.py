@@ -166,8 +166,14 @@ class MultiTaskPipeline:
                     and 'panoptic' in self.postprocessors:
                 # panoptic postprocessor handles both sub-tasks in
                 # training via the per-task naming convention
+                from .models.upsampling import (
+                    DeferredUpsampling, apply_deferred_upsampling,
+                )
                 prefix = task
-                predictions_post[f'{prefix}_output'] = raw[0]
+                main = raw[0]
+                if isinstance(main, DeferredUpsampling):
+                    main = apply_deferred_upsampling(main)
+                predictions_post[f'{prefix}_output'] = main
                 predictions_post[f'{prefix}_side_outputs'] = raw[1]
                 continue
             if post is not None:

@@ -1,10 +1,18 @@
 """Semantic postprocessing (reference
 model/postprocessing/semantic.py:17-82): softmax scores + argmax, plus
-full-resolution variants computed from bilinearly-resized logits."""
+full-resolution variants computed from bilinearly-resized logits.
+
+When the model defers its final prediction upsampling
+(`defer_semantic_prediction_upsampling`), score/idx come from the
+fused upsample+reduce kernel (ops/pallas/semantic_finisher.py) and the
+full-resolution logits tensor is only materialized for consumers that
+actually read it (XLA DCEs it in the serving pipeline)."""
 import jax
 import jax.numpy as jnp
 
 from ..data.preprocessing.resize import get_fullres_key
+from ..models.upsampling import DeferredUpsampling, apply_deferred_upsampling
+from ..ops.pallas.semantic_finisher import finish_deferred_semantic
 from ..ops.pallas.semantic_reduce import semantic_score_idx
 from .base import DensePostprocessingBase
 
@@ -15,14 +23,56 @@ class SemanticPostprocessing(DensePostprocessingBase):
 
     def _postprocess_training(self, data, batch):
         output, side_outputs = data
+        if isinstance(output, DeferredUpsampling):
+            output = apply_deferred_upsampling(output)
         return {'semantic_output': output,
                 'semantic_side_outputs': side_outputs}
 
     def _postprocess_inference(self, data, batch):
         output, side_outputs = data    # (B, H, W, C)
 
+        deferred = None
+        if isinstance(output, DeferredUpsampling):
+            deferred = output
+            # lazily-applied conv twin: DCE'd unless a consumer reads
+            # the dense logits/softmax keys
+            output = apply_deferred_upsampling(deferred)
+
         r_dict = {'semantic_output': output,
                   'semantic_side_outputs': side_outputs}
+
+        if deferred is not None:
+            idx, score = finish_deferred_semantic(deferred)
+            r_dict.update({
+                'semantic_softmax_scores':
+                    jax.nn.softmax(output, axis=-1),
+                'semantic_segmentation_score': score,
+                'semantic_segmentation_idx': idx,
+            })
+            crop_slices, resize_shape = self._fullres_args(
+                batch, 'semantic')
+            (sh, sw), (h, w) = output.shape[1:3], resize_shape
+            identity = (
+                crop_slices[0].indices(sh) == (0, sh, 1)
+                and crop_slices[1].indices(sw) == (0, sw, 1)
+                and (h, w) == (sh, sw))
+            if identity:
+                score_fr, idx_fr = score, idx
+                output_fullres = output
+            else:
+                output_fullres = \
+                    self._crop_to_valid_region_and_resize_prediction(
+                        output, crop_slices, resize_shape,
+                        mode='bilinear')
+                score_fr, idx_fr = semantic_score_idx(output_fullres)
+            r_dict.update({
+                get_fullres_key('semantic_output'): output_fullres,
+                get_fullres_key('semantic_softmax_scores'):
+                    jax.nn.softmax(output_fullres, axis=-1),
+                get_fullres_key('semantic_segmentation_score'): score_fr,
+                get_fullres_key('semantic_segmentation_idx'): idx_fr,
+            })
+            return r_dict
 
         # score/idx derive from the LOGITS: argmax is softmax-invariant
         # and max-softmax = exp(max_logit - logsumexp), so the dense

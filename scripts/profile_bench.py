@@ -73,6 +73,7 @@ def main():
         scene_n_classes=10,
         upsampling='learned-3x3-zeropad',
         prediction_upsampling='learned-3x3-zeropad',
+        defer_semantic_prediction_upsampling=True,   # match bench.py
         dtype=jnp.bfloat16,
     )
     model = build_model(config)

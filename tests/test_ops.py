@@ -269,6 +269,60 @@ class TestPallasKernelsInterpret:
             jnp.ones((B, P), bool), interpret=True)
         assert (np.asarray(ids) == 0).all()
 
+    def test_semantic_finisher_matches_numpy_oracle_f32(self):
+        # f32 end-to-end against an exact float64 numpy oracle of
+        # nearest-x2 + zero-padded depthwise 3x3 + argmax/score. The
+        # XLA conv path is NOT the oracle here: on CPU it routes
+        # through oneDNN with ~1e-3 reduced-precision error (on real
+        # TPU hardware the kernel matched this f64 oracle with
+        # 0/262144 idx mismatches at C in {16, 40}, see PERF.md).
+        # C=40 (the serving shape): pallas-interpret mispads the class
+        # axis for small C (scores stay exact, argmax picks the pad) --
+        # the real-TPU path is gated to C % 8 == 0 anyway.
+        from nicr_mtsa_tpu.ops.pallas.semantic_finisher import (
+            upsample2x_argmax_score,
+        )
+        rng = np.random.default_rng(3)
+        B, H, W, C = 8, 8, 16, 40
+        x = rng.normal(size=(B, H, W, C)).astype(np.float32)
+        kern = rng.normal(0, 0.1, size=(3, 3, 1, C)).astype(np.float32)
+        bias = rng.normal(0, 0.05, size=(C,)).astype(np.float32)
+
+        up = np.repeat(np.repeat(x.astype(np.float64), 2, 1), 2, 2)
+        upp = np.pad(up, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        logits = np.zeros_like(up)
+        for dy in range(3):
+            for dx in range(3):
+                logits += (kern[dy, dx, 0].astype(np.float64)
+                           * upp[:, dy:dy + 2 * H, dx:dx + 2 * W, :])
+        logits += bias
+        idx_o = np.argmax(logits, axis=-1)
+        m = logits.max(axis=-1, keepdims=True)
+        score_o = 1.0 / np.sum(np.exp(logits - m), axis=-1)
+
+        idx, score = upsample2x_argmax_score(
+            jnp.asarray(x), jnp.asarray(kern), jnp.asarray(bias),
+            block_h=4, block_w=8, interpret=True)
+        assert idx.shape == (B, 2 * H, 2 * W)
+        np.testing.assert_array_equal(np.asarray(idx), idx_o)
+        np.testing.assert_allclose(np.asarray(score), score_o, rtol=1e-4)
+
+    def test_semantic_finisher_tie_break_first(self):
+        from nicr_mtsa_tpu.ops.pallas.semantic_finisher import (
+            upsample2x_argmax_score,
+        )
+        B, H, W, C = 8, 8, 16, 5
+        x = np.zeros((B, H, W, C), np.float32)
+        x[..., 1] = 2.0
+        x[..., 3] = 2.0          # tie with class 1 -> first wins
+        # identity-ish kernel (center tap only) keeps the tie at 2x res
+        kern = np.zeros((3, 3, 1, C), np.float32)
+        kern[1, 1] = 1.0
+        idx, _ = upsample2x_argmax_score(
+            jnp.asarray(x), jnp.asarray(kern), jnp.zeros((C,)),
+            block_h=4, block_w=8, interpret=True)
+        assert (np.asarray(idx) == 1).all()
+
 
 def test_chunked_top_k_matches_single_call():
     from nicr_mtsa_tpu.ops.nms import chunked_top_k

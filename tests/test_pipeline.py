@@ -339,3 +339,63 @@ def test_training_convergence_smoke():
             first = total
     assert np.isfinite(total)
     assert total < 0.7 * first, (first, total)
+
+
+def test_deferred_semantic_upsampling_pipeline_equivalence():
+    """A model built with `defer_semantic_prediction_upsampling=True`
+    must (a) accept the standard model's parameter pytree verbatim and
+    (b) produce identical serving-pipeline outputs (the deferred path
+    dispatches to the exact XLA twin on CPU; on-TPU kernel parity is
+    covered by tests/test_ops.py + hardware runs, PERF.md)."""
+    from nicr_mtsa_tpu.pipeline import PanopticInferencePipeline
+    from nicr_mtsa_tpu.postprocessing import (
+        InstancePostprocessing, PanopticPostprocessing,
+        SemanticPostprocessing,
+    )
+
+    H, W = 32, 64
+    n_classes = 8
+    is_thing = tuple(i < 3 for i in range(n_classes))
+
+    def make(deferred):
+        config = MultiTaskModelConfig(
+            tasks=('semantic', 'instance', 'orientation', 'scene'),
+            backbone_rgb='resnet18', backbone_depth='resnet18',
+            resnet_block='basicblock', context_n_channels=32,
+            decoder_n_channels=(16, 12, 8), decoder_n_blocks=1,
+            input_size=(H, W), semantic_n_classes=n_classes,
+            scene_n_classes=5,
+            upsampling='learned-3x3-zeropad',
+            prediction_upsampling='learned-3x3-zeropad',
+            defer_semantic_prediction_upsampling=deferred,
+            dtype=jnp.float32)
+        model = build_model(config)
+        post = PanopticPostprocessing(
+            semantic_postprocessing=SemanticPostprocessing(),
+            instance_postprocessing=InstancePostprocessing(
+                heatmap_threshold=0.1, heatmap_nms_kernel_size=3,
+                top_k_instances=8),
+            semantic_classes_is_thing=is_thing,
+            semantic_class_has_orientation=is_thing)
+        return model, PanopticInferencePipeline(
+            model, post, compute_dtype=jnp.float32)
+
+    rng = np.random.default_rng(0)
+    rgb = jnp.asarray(rng.integers(0, 255, (2, H, W, 3), dtype=np.uint8))
+    depth = jnp.asarray(
+        rng.integers(0, 2 ** 14, (2, H, W), dtype=np.uint16))
+
+    model_std, pipe_std = make(False)
+    _, pipe_def = make(True)
+    inputs = pipe_std.preprocess(rgb, depth)
+    variables = jax.jit(
+        lambda k: model_std.init({'params': k}, inputs, train=False)
+    )(jax.random.PRNGKey(0))
+
+    out_std = pipe_std(variables, rgb, depth)   # shared params
+    out_def = pipe_def(variables, rgb, depth)
+    assert set(out_std) == set(out_def)
+    for key in out_std:
+        np.testing.assert_array_equal(
+            np.asarray(out_std[key]), np.asarray(out_def[key]),
+            err_msg=key)

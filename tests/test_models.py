@@ -275,6 +275,25 @@ def test_learned_zeropad_upsampling_fused_equivalence():
                                atol=2e-5, rtol=2e-5)
 
 
+def test_fused_zeropad_kernel_construction_exact():
+    # the 4x4 fused kernel must equal flip(T @ K @ T^T) EXACTLY: it is
+    # built from adds only (an einsum with the 0/1 T matrix routed
+    # through reduced-precision matmuls on some backends and corrupted
+    # trained asymmetric kernels by ~1e-3 -- regression guard)
+    from nicr_mtsa_tpu.models.upsampling import fused_zeropad_2x_kernel
+    rng = np.random.default_rng(0)
+    C = 7
+    kernel = rng.normal(size=(3, 3, 1, C)).astype(np.float32)
+    kt = np.asarray(fused_zeropad_2x_kernel(jnp.asarray(kernel)))
+    T = np.asarray([[0, 0, 1], [0, 1, 1], [1, 1, 0], [1, 0, 0]],
+                   np.float64)
+    want = np.einsum('ay,yxzc,bx->abzc', T,
+                     kernel.astype(np.float64), T)[::-1, ::-1]
+    # within f32 rounding of the exact value (sums of <= 4 f32 terms;
+    # association order may differ from the einsum by 1 ulp)
+    np.testing.assert_allclose(kt, want, rtol=3e-7, atol=1e-7)
+
+
 def test_config_presets_build():
     import jax.numpy as jnp
     from nicr_mtsa_tpu.configs import BENCH_CONFIGS

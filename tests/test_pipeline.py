@@ -399,3 +399,53 @@ def test_deferred_semantic_upsampling_pipeline_equivalence():
         np.testing.assert_array_equal(
             np.asarray(out_std[key]), np.asarray(out_def[key]),
             err_msg=key)
+
+
+def test_deferred_semantic_train_and_validation_equivalence():
+    """The deferred-upsampling model must train and validate like the
+    standard model: same params, same losses (the training path applies
+    the deferred conv before the CE loss), same validation logs."""
+    def make(deferred):
+        config = MultiTaskModelConfig(
+            tasks=('semantic', 'instance', 'orientation', 'scene'),
+            backbone_rgb='resnet18', backbone_depth='resnet18',
+            resnet_block='basicblock', context_module='ppm',
+            context_n_channels=64, input_size=(H, W),
+            decoder_n_channels=(32, 24, 16), decoder_n_blocks=1,
+            upsampling='learned-3x3-zeropad',
+            prediction_upsampling='learned-3x3-zeropad',
+            defer_semantic_prediction_upsampling=deferred,
+            semantic_n_classes=N_CLASSES - 1, scene_n_classes=4)
+        model = build_model(config)
+        postprocessors = default_postprocessors(
+            tasks=config.tasks + ('panoptic',),
+            semantic_classes_is_thing=IS_THING[1:], top_k_instances=16)
+        task_helpers = {
+            'semantic': SemanticTaskHelper(n_classes=N_CLASSES - 1),
+            'scene': SceneTaskHelper(n_classes=4),
+        }
+        return MultiTaskPipeline(model=model,
+                                 postprocessors=postprocessors,
+                                 task_helpers=task_helpers)
+
+    batch = make_batch()
+    jit_batch = strip_non_arrays(batch)
+    pipe_std = make(False)
+    pipe_def = make(True)
+    inputs = pipe_std.model_inputs(batch)
+    state = pipe_std.create_train_state(jax.random.PRNGKey(0), inputs)
+
+    rng = jax.random.PRNGKey(7)
+    _, losses_std = pipe_std.train_step(dict(state), jit_batch, rng=rng)
+    _, losses_def = pipe_def.train_step(dict(state), jit_batch, rng=rng)
+    for key in losses_std:
+        np.testing.assert_allclose(
+            np.asarray(losses_std[key]), np.asarray(losses_def[key]),
+            rtol=1e-5, err_msg=key)
+
+    preds_std, _, logs_std = pipe_std.validation_step(state, batch)
+    preds_def, _, logs_def = pipe_def.validation_step(state, batch)
+    np.testing.assert_array_equal(
+        np.asarray(preds_std['semantic_segmentation_idx']),
+        np.asarray(preds_def['semantic_segmentation_idx']))
+    assert set(logs_std) == set(logs_def)

@@ -55,7 +55,7 @@ def run_train_bench(args, model, H, W, n_classes, is_thing, rng):
         optimizer=optax.adamw(1e-4),
     )
 
-    B = args.batch_size or (2 if args.quick else 16)
+    B = args.batch_size or (2 if args.quick else 32)   # 16 -> 69.8, 32 -> 83.5 f/s
     batch = {
         'rgb': rng.normal(size=(B, H, W, 3)).astype(np.float32),
         'depth': rng.normal(size=(B, H, W, 1)).astype(np.float32),
@@ -171,7 +171,9 @@ def run_eval_bench(args, model, H, W, n_classes, is_thing):
                        raw_depth=True),
         ToDeviceArrays(),
     ])
-    B = args.batch_size or (2 if args.quick else 8)
+    # 32 = measured sweet spot (B64 OOMs on the (B, P, S) PQ one-hot
+    # intersection matmuls); see PERF.md eval trajectory
+    B = args.batch_size or (2 if args.quick else 32)
     samples = []
     for i in range(B):
         s = get_dummy_sample()

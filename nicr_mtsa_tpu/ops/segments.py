@@ -40,27 +40,22 @@ def unique_table(ids: jnp.ndarray, size: int) -> jnp.ndarray:
 
 
 def ids_to_slots(ids: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
-    """Map pixel ids (B, P) to slots in a sorted table (B, S) via
-    searchsorted; ids not in the table (incl. -1 padding) map to S."""
-    from .lookup import value_table_lookup
+    """Map pixel ids (B, P) to slots in a sorted unique table (B, S);
+    ids not in the table (incl. -1 padding) map to S.
 
+    Formulated as a broadcast compare-count, NOT searchsorted:
+    jnp.searchsorted lowers to a per-element binary-search while loop
+    on TPU (measured 90-150 ms per call at (8, 307200)x128 inside the
+    fused eval step -- ~95%% of the whole step). The count of
+    table entries < id IS the searchsorted('left') slot, and for a
+    sorted unique table it equals the match index when the id is
+    present; one fused compare+reduce pass over (B, P, S) runs at
+    vector speed (~1 ms for the same shapes)."""
     S = table.shape[-1]
-    # searchsorted over the batch: vmap keeps it a single fused kernel
-    slot = jax.vmap(
-        lambda t, i: jnp.searchsorted(t, i, side='left')
-    )(table, ids)
-    slot = jnp.clip(slot, 0, S - 1)
-    # membership check table[slot] == ids WITHOUT a big-index gather
-    # (scalar-core serialization, PERF.md lesson 1): two one-hot MXU
-    # lookups of the 16-bit halves -- each half < 2^16 stays exact in
-    # the f32 accumulation even though ids (and the 2^31-1 pad) exceed
-    # 2^24. -1 padding: lo half 65535 never matches the non-negative
-    # table halves.
-    ids32 = ids.astype(jnp.int32)
-    found = (
-        (value_table_lookup(slot, table & 0xFFFF) == (ids32 & 0xFFFF))
-        & (value_table_lookup(slot, table >> 16) == (ids32 >> 16))
-    )
+    t = table[:, None, :]                          # (B, 1, S)
+    i = ids.astype(jnp.int32)[:, :, None]          # (B, P, 1)
+    slot = jnp.sum(t < i, axis=-1).astype(jnp.int32)
+    found = jnp.any(t == i, axis=-1)
     return jnp.where(found, slot, S)
 
 

@@ -39,6 +39,36 @@ def unique_table(ids: jnp.ndarray, size: int) -> jnp.ndarray:
     return jnp.sort(dedup, axis=-1)[..., :size]
 
 
+@partial(jax.jit, static_argnames=('n_classes_with_void', 'top_k',
+                                   'max_instances_per_category', 'size'))
+def merged_segment_table(
+    panoptic_map: jnp.ndarray,     # (B, ...) ids = class * M + rank
+    n_classes_with_void: int,
+    top_k: int,
+    max_instances_per_category: int,
+    size: int,
+) -> jnp.ndarray:
+    """`unique_table` specialized to panoptic maps produced by
+    `ops.merge.deeplab_merge` (or nearest-resizes of them), whose ids
+    are class * M + rank with rank <= top_k: presence is a (C, K+1)
+    one-hot histogram on the MXU plus a sort of the C*(K+1) candidate
+    grid -- no O(P log P) sort of the pixel map (2 x ~13 ms per call
+    at (32, 512*512) in the fused eval step)."""
+    B = panoptic_map.shape[0]
+    C, K, M = n_classes_with_void, top_k, max_instances_per_category
+    flat = panoptic_map.reshape(B, -1).astype(jnp.int32)
+    cls = flat // M
+    rank = flat - cls * M                       # <= K for merged maps
+    oh_c = jax.nn.one_hot(cls, C, dtype=jnp.bfloat16)
+    oh_r = jax.nn.one_hot(rank, K + 1, dtype=jnp.bfloat16)
+    counts = jnp.einsum('bpc,bpk->bck', oh_c, oh_r,
+                        preferred_element_type=jnp.float32)
+    ids = (jnp.arange(C, dtype=jnp.int32)[:, None] * M
+           + jnp.arange(K + 1, dtype=jnp.int32)[None, :])
+    cand = jnp.where(counts > 0, ids[None], _PAD).reshape(B, C * (K + 1))
+    return jnp.sort(cand, axis=-1)[..., :size]
+
+
 def ids_to_slots(ids: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
     """Map pixel ids (B, P) to slots in a sorted unique table (B, S);
     ids not in the table (incl. -1 padding) map to S.

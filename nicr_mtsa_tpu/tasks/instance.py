@@ -21,7 +21,7 @@ from ..metrics import (
     MeanAbsoluteAngularError, PanopticQualityWithOrientationMAE,
 )
 from ..ops.merge import deeplab_merge
-from ..ops.segments import SEGMENT_TABLE_PAD, unique_table
+from ..ops.segments import SEGMENT_TABLE_PAD, merged_segment_table
 from ._orientation_tables import gt_slot_angles, pred_slot_angles
 from .base import (
     TaskHelperBase, append_detached_losses_to_logs, append_profile_to_logs,
@@ -183,9 +183,9 @@ class InstanceTaskHelper(TaskHelperBase):
         panoptic_target = jnp.asarray(
             self.get_fullres(batch, 'panoptic'), jnp.int32)
         gt_table = jnp.asarray(batch['panoptic_segment_table_fullres'])
-        B = panoptic_target.shape[0]
-        pred_table = unique_table(
-            merge.panoptic.reshape(B, -1),
+        pred_table = merged_segment_table(
+            merge.panoptic, self._semantic_n_classes,
+            self._top_k_instances, self._max_instances_per_category,
             self._mae_pq_deeplab._pred_table_size)
 
         kwargs = {}

@@ -11,7 +11,7 @@ from ..metrics import (
     MeanIntersectionOverUnion, PanopticQualityWithOrientationMAE,
     confusion_matrix,
 )
-from ..ops.segments import unique_table
+from ..ops.segments import merged_segment_table
 from ._orientation_tables import gt_slot_angles, pred_slot_angles
 from .base import TaskHelperBase, append_profile_to_logs
 
@@ -70,9 +70,12 @@ class PanopticTaskHelper(TaskHelperBase):
         panoptic_pred = predictions_post[
             get_fullres_key('panoptic_segmentation_deeplab')] \
             .astype(jnp.int32)
-        B = panoptic_pred.shape[0]
-        pred_table = unique_table(
-            panoptic_pred.reshape(B, -1),
+        # sort-free segment table: merged maps have rank <= K ids
+        top_k = predictions_post[
+            'panoptic_segmentation_deeplab_ids'].shape[1] - 1
+        pred_table = merged_segment_table(
+            panoptic_pred, self._semantic_n_classes, top_k,
+            self._max_instances_per_category,
             self._mae_pq_deeplab._pred_table_size)
 
         kwargs = {}
@@ -118,9 +121,9 @@ class PanopticTaskHelper(TaskHelperBase):
             get_fullres_key('panoptic_segmentation_deeplab')].astype(jnp.int32)
         id_table = predictions_post['panoptic_segmentation_deeplab_ids']
 
-        B = panoptic_pred.shape[0]
-        pred_table = unique_table(
-            panoptic_pred.reshape(B, -1),
+        pred_table = merged_segment_table(
+            panoptic_pred, self._semantic_n_classes,
+            id_table.shape[1] - 1, self._max_instances_per_category,
             self._mae_pq_deeplab._pred_table_size)
 
         kwargs = {}

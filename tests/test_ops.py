@@ -324,6 +324,22 @@ class TestPallasKernelsInterpret:
         assert (np.asarray(idx) == 1).all()
 
 
+def test_merged_segment_table_matches_unique_table():
+    from nicr_mtsa_tpu.ops.segments import (
+        merged_segment_table, unique_table,
+    )
+    rng = np.random.default_rng(11)
+    B, P, C, K, M, S = 3, 4096, 13, 8, 1 << 16, 32
+    # merge-structured ids: class * M + rank with rank <= K; include
+    # void (0), stuff (rank 0), and sparse thing segments
+    cls = rng.integers(0, C, (B, P))
+    rank = rng.integers(0, K + 1, (B, P)) * (rng.random((B, P)) < 0.3)
+    ids = jnp.asarray((cls * M + rank).astype(np.int32))
+    want = unique_table(ids, S)
+    got = merged_segment_table(ids, C, K, M, S)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_chunked_top_k_matches_single_call():
     from nicr_mtsa_tpu.ops.nms import chunked_top_k
     rng = np.random.default_rng(7)

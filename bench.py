@@ -55,7 +55,7 @@ def run_train_bench(args, model, H, W, n_classes, is_thing, rng):
         optimizer=optax.adamw(1e-4),
     )
 
-    B = args.batch_size or (2 if args.quick else 32)   # 16 -> 69.8, 32 -> 83.5 f/s
+    B = args.batch_size or (2 if args.quick else 48)   # 16->69.8, 32->83.5, 48->93.6, 64->91.6 f/s
     batch = {
         'rgb': rng.normal(size=(B, H, W, 3)).astype(np.float32),
         'depth': rng.normal(size=(B, H, W, 1)).astype(np.float32),

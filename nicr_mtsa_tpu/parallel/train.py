@@ -51,3 +51,22 @@ def make_sharded_eval_forward(pipeline, mesh: Mesh, axis_name: str = 'data',
 
     return jax.jit(_fwd, in_shardings=(repl, repl, data),
                    out_shardings=data)
+
+
+def make_sharded_infer(pipeline, mesh: Mesh, axis_name: str = 'data'):
+    """Data-parallel SERVING: shard a PanopticInferencePipeline's
+    uint8 frame batch over the mesh's `data` axis with replicated
+    parameters. The whole fused program (normalize -> forward -> NMS ->
+    grouping -> merge) is per-image, so it partitions with no
+    cross-device collectives on the critical path. Returns
+    `infer(variables, rgb_u8, depth_u16) -> outputs` with outputs
+    sharded over `data` (use `jax.device_get` or keep sharded for a
+    downstream consumer)."""
+    repl = replicated(mesh)
+    data = batch_sharding(mesh, axis_name)
+
+    return jax.jit(
+        pipeline._infer_impl,
+        in_shardings=(repl, data, data),
+        out_shardings=data,
+    )

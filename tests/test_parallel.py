@@ -134,3 +134,67 @@ def test_sharded_eval_forward_matches_unsharded():
         np.asarray(ref['scene_class_score']), rtol=1e-5)
     assert out['semantic_segmentation_idx'].sharding.is_equivalent_to(
         batch_sharding(mesh), ndim=3)
+
+
+def test_sharded_inference_matches_single_device():
+    """Data-parallel serving (make_sharded_infer) must reproduce the
+    single-device PanopticInferencePipeline outputs exactly."""
+    import numpy as np
+    from nicr_mtsa_tpu.models.multi_task import (
+        MultiTaskModelConfig, build_model,
+    )
+    from nicr_mtsa_tpu.parallel.mesh import make_mesh
+    from nicr_mtsa_tpu.parallel.train import make_sharded_infer
+    from nicr_mtsa_tpu.pipeline import PanopticInferencePipeline
+    from nicr_mtsa_tpu.postprocessing import (
+        InstancePostprocessing, PanopticPostprocessing,
+        SemanticPostprocessing,
+    )
+
+    H, W = 32, 64
+    n_classes = 6
+    is_thing = tuple(i < 2 for i in range(n_classes))
+    config = MultiTaskModelConfig(
+        tasks=('semantic', 'instance', 'scene'),
+        backbone_rgb='resnet18', backbone_depth='resnet18',
+        resnet_block='basicblock', context_n_channels=32,
+        decoder_n_channels=(16, 12, 8), decoder_n_blocks=1,
+        input_size=(H, W), semantic_n_classes=n_classes,
+        scene_n_classes=3, dtype=jnp.float32)
+    model = build_model(config)
+    post = PanopticPostprocessing(
+        semantic_postprocessing=SemanticPostprocessing(),
+        instance_postprocessing=InstancePostprocessing(
+            heatmap_threshold=0.1, heatmap_nms_kernel_size=3,
+            top_k_instances=8),
+        semantic_classes_is_thing=is_thing,
+        semantic_class_has_orientation=is_thing)
+    pipe = PanopticInferencePipeline(model, post,
+                                     compute_dtype=jnp.float32)
+
+    rng = np.random.default_rng(0)
+    B = 8    # one image per virtual device
+    rgb = jnp.asarray(rng.integers(0, 255, (B, H, W, 3), dtype=np.uint8))
+    depth = jnp.asarray(
+        rng.integers(0, 2 ** 14, (B, H, W), dtype=np.uint16))
+    variables = jax.jit(
+        lambda k: model.init(
+            {'params': k}, pipe.preprocess(rgb, depth), train=False)
+    )(jax.random.PRNGKey(0))
+
+    single = pipe(variables, rgb, depth)
+
+    mesh = make_mesh(8, ('data',))
+    infer = make_sharded_infer(pipe, mesh)
+    sharded = infer(variables, rgb, depth)
+
+    assert set(single) == set(sharded)
+    for key in single:
+        a, b = np.asarray(single[key]), np.asarray(sharded[key])
+        if a.dtype.kind in 'iub':
+            np.testing.assert_array_equal(a, b, err_msg=key)
+        else:
+            # float outputs: partitioned programs fuse/accumulate in a
+            # different order (1-ulp-scale differences on CPU)
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4,
+                                       err_msg=key)

@@ -234,6 +234,10 @@ def main():
                         help='measure fused EVAL step throughput '
                              '(forward + postproc + merge + PQ/mIoU/MAE '
                              'metric states on device)')
+    parser.add_argument('--model', default='emsanet-bench',
+                        help="'emsanet-bench' (the default flagship "
+                             "wiring) or a configs.BENCH_CONFIGS "
+                             "preset name (e.g. 'emsaformer_dve')")
     args = parser.parse_args()
 
     import jax
@@ -255,25 +259,36 @@ def main():
     n_classes = 40                        # NYUv2-40, without void
     is_thing = tuple(i < 8 for i in range(n_classes))   # 8 thing classes
 
-    config = MultiTaskModelConfig(
-        tasks=('semantic', 'instance', 'orientation', 'scene'),
-        backbone_rgb='resnet18' if args.quick else 'resnet34',
-        backbone_depth='resnet18' if args.quick else 'resnet34',
-        resnet_block='basicblock' if args.quick else 'nonbottleneck1d',
-        context_n_channels=128 if args.quick else 512,
-        decoder_n_channels=(64, 48, 32) if args.quick else (512, 256, 128),
-        decoder_n_blocks=1 if args.quick else 3,
-        input_size=(H, W),
-        semantic_n_classes=n_classes,
-        scene_n_classes=10,
-        upsampling='learned-3x3-zeropad',
-        prediction_upsampling='learned-3x3-zeropad',
-        # serving: fuse the final semantic upsample with argmax/score
-        # (ops/pallas/semantic_finisher.py) -- the (B, 480, 640, 40)
-        # logits tensor never touches HBM
-        defer_semantic_prediction_upsampling=not args.train,
-        dtype=jnp.bfloat16,
-    )
+    if args.model == 'emsanet-bench':
+        config = MultiTaskModelConfig(
+            tasks=('semantic', 'instance', 'orientation', 'scene'),
+            backbone_rgb='resnet18' if args.quick else 'resnet34',
+            backbone_depth='resnet18' if args.quick else 'resnet34',
+            resnet_block='basicblock' if args.quick else 'nonbottleneck1d',
+            context_n_channels=128 if args.quick else 512,
+            decoder_n_channels=(64, 48, 32) if args.quick
+            else (512, 256, 128),
+            decoder_n_blocks=1 if args.quick else 3,
+            input_size=(H, W),
+            semantic_n_classes=n_classes,
+            scene_n_classes=10,
+            upsampling='learned-3x3-zeropad',
+            prediction_upsampling='learned-3x3-zeropad',
+            # serving: fuse the final semantic upsample with
+            # argmax/score (ops/pallas/semantic_finisher.py) -- the
+            # (B, 480, 640, 40) logits tensor never touches HBM
+            defer_semantic_prediction_upsampling=not args.train,
+            dtype=jnp.bfloat16,
+        )
+    else:
+        import dataclasses
+        from nicr_mtsa_tpu.configs import BENCH_CONFIGS
+        config = BENCH_CONFIGS[args.model](
+            input_size=(H, W), dtype=jnp.bfloat16)
+        if (not args.train
+                and config.prediction_upsampling == 'learned-3x3-zeropad'):
+            config = dataclasses.replace(
+                config, defer_semantic_prediction_upsampling=True)
     model = build_model(config)
 
     post = PanopticPostprocessing(

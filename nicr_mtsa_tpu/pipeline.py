@@ -347,7 +347,11 @@ class PanopticInferencePipeline:
 
     def preprocess(self, rgb_u8, depth_u16):
         """On-device normalize (reference does this per-sample in
-        numpy, normalize.py:44-47 / 99-124)."""
+        numpy, normalize.py:44-47 / 99-124). Emits the input dict the
+        model's encoder expects: {'rgb', 'depth'} for dual-backbone
+        fusion encoders, {'rgbd'} (channel concat) for single
+        4-channel multimodal backbones (e.g. swin-multi-*), or a
+        single modality for 3-/1-channel backbones."""
         rgb = (rgb_u8.astype(jnp.float32) - jnp.asarray(RGB_MEAN)) \
             / jnp.asarray(RGB_STD)
         depth = depth_u16.astype(jnp.float32)
@@ -356,8 +360,19 @@ class PanopticInferencePipeline:
         depth = jnp.where(invalid, 0.0, depth)
         if depth.ndim == 3:
             depth = depth[..., None]
-        return {'rgb': rgb.astype(self._compute_dtype),
-                'depth': depth.astype(self._compute_dtype)}
+        rgb = rgb.astype(self._compute_dtype)
+        depth = depth.astype(self._compute_dtype)
+
+        encoder = getattr(self.model, 'encoder', None)
+        backbone = getattr(encoder, 'backbone', None)
+        if backbone is not None:    # single-backbone encoder
+            n_in = getattr(backbone, 'n_input_channels', 3)
+            if n_in == 4:
+                return {'rgbd': jnp.concatenate([rgb, depth], axis=-1)}
+            if n_in == 1:
+                return {'depth': depth}
+            return {'rgb': rgb}
+        return {'rgb': rgb, 'depth': depth}
 
     def _infer_impl(self, variables, rgb_u8, depth_u16):
         inputs = self.preprocess(rgb_u8, depth_u16)

@@ -449,3 +449,54 @@ def test_deferred_semantic_train_and_validation_equivalence():
         np.asarray(preds_std['semantic_segmentation_idx']),
         np.asarray(preds_def['semantic_segmentation_idx']))
     assert set(logs_std) == set(logs_def)
+
+
+def test_inference_pipeline_multimodal_rgbd_backbone():
+    """PanopticInferencePipeline must feed a single 4-channel
+    multimodal backbone the concatenated {'rgbd'} input (the
+    EMSAFormer serving path)."""
+    from nicr_mtsa_tpu.pipeline import PanopticInferencePipeline
+    from nicr_mtsa_tpu.postprocessing import (
+        InstancePostprocessing, PanopticPostprocessing,
+        SemanticPostprocessing,
+    )
+
+    Hs, Ws = 64, 64
+    n_classes = 6
+    is_thing = tuple(i < 2 for i in range(n_classes))
+    config = MultiTaskModelConfig(
+        tasks=('semantic', 'instance', 'scene'),
+        backbone_rgb=None, backbone_depth=None,
+        backbone_rgbd='swin-t',
+        context_module='ppm', context_n_channels=32,
+        decoder_type='mlp', decoder_n_channels=(32, 24, 24, 24),
+        encoder_decoder_fusion='swin-ln-select',
+        upsampling='bilinear', prediction_upsampling='bilinear',
+        input_size=(Hs, Ws), semantic_n_classes=n_classes,
+        scene_n_classes=3, dtype=jnp.float32)
+    model = build_model(config)
+    post = PanopticPostprocessing(
+        semantic_postprocessing=SemanticPostprocessing(),
+        instance_postprocessing=InstancePostprocessing(
+            heatmap_threshold=0.1, heatmap_nms_kernel_size=3,
+            top_k_instances=8),
+        semantic_classes_is_thing=is_thing,
+        semantic_class_has_orientation=is_thing)
+    pipe = PanopticInferencePipeline(model, post,
+                                     compute_dtype=jnp.float32)
+
+    rng = np.random.default_rng(0)
+    rgb = jnp.asarray(rng.integers(0, 255, (2, Hs, Ws, 3),
+                                   dtype=np.uint8))
+    depth = jnp.asarray(rng.integers(0, 2 ** 14, (2, Hs, Ws),
+                                     dtype=np.uint16))
+    inputs = pipe.preprocess(rgb, depth)
+    assert set(inputs) == {'rgbd'}
+    assert inputs['rgbd'].shape == (2, Hs, Ws, 4)
+
+    variables = jax.jit(
+        lambda k: model.init({'params': k}, inputs, train=False)
+    )(jax.random.PRNGKey(0))
+    out = pipe(variables, rgb, depth)
+    assert out['panoptic'].shape == (2, Hs, Ws)
+    assert np.asarray(out['semantic_idx']).max() < n_classes

@@ -96,8 +96,17 @@ def intersection_matrix(
     n_pred: int,
 ) -> jnp.ndarray:
     """(B, S_gt+1, S_pred+1) float32 pixel counts per (gt, pred) segment
-    pair; the last row/column holds out-of-table pixels. One-hot bf16
-    matmul with f32 accumulation (exact for counts < 2^24)."""
+    pair; the last row/column holds out-of-table pixels. Exact (bf16
+    0/1 one-hots, f32 accumulation, counts < 2^24).
+
+    A Pallas twin that builds the one-hots per pixel tile in VMEM and
+    accumulates the MXU product in the output block exists
+    (ops/pallas/intersection_kernel.py, hardware-exactness-tested) but
+    is NOT the default: inside the fused eval program it forces
+    row-major layouts on the slot maps and measures 4% SLOWER end to
+    end (122.8 -> 118.2 frames/s -- PERF.md lesson 6 again); XLA
+    also fuses the one-hot construction into the einsum operands, so
+    the feared (B, P, S) HBM materialization does not actually bind."""
     oh_gt = jax.nn.one_hot(gt_slots, n_gt + 1, dtype=jnp.bfloat16)
     oh_pred = jax.nn.one_hot(pred_slots, n_pred + 1, dtype=jnp.bfloat16)
     return jnp.einsum('bpg,bpq->bgq', oh_gt, oh_pred,

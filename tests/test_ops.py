@@ -269,6 +269,22 @@ class TestPallasKernelsInterpret:
             jnp.ones((B, P), bool), interpret=True)
         assert (np.asarray(ids) == 0).all()
 
+    def test_intersection_matrix_pallas_matches_xla(self):
+        from nicr_mtsa_tpu.ops.pallas.intersection_kernel import (
+            intersection_matrix_pallas,
+        )
+        from nicr_mtsa_tpu.ops.segments import intersection_matrix
+        rng = np.random.default_rng(5)
+        B, P = 2, 4096
+        gt = jnp.asarray(rng.integers(0, 6, (B, P)).astype(np.int32))
+        pred = jnp.asarray(rng.integers(0, 9, (B, P)).astype(np.int32))
+        m_k = intersection_matrix_pallas(
+            gt, pred, n_gt=5, n_pred=8, block_p=1024, interpret=True)
+        m_x = intersection_matrix(gt, pred, n_gt=5, n_pred=8)
+        np.testing.assert_array_equal(np.asarray(m_k), np.asarray(m_x))
+        # on real TPU hardware the kernel matched the einsum exactly at
+        # (8, 262144) x (66, 130) -- see PERF.md
+
     def test_semantic_finisher_matches_numpy_oracle_f32(self):
         # f32 end-to-end against an exact float64 numpy oracle of
         # nearest-x2 + zero-padded depthwise 3x3 + argmax/score. The

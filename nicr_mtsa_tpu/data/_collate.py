@@ -87,28 +87,29 @@ class RandomSamplerSubset:
                 "per-subset fractions require a concatenated dataset"
             assert len(self.subset) == len(self._data_source.datasets)
 
+    def _spans(self) -> List[Tuple[int, int, float]]:
+        """(start, length, fraction) per underlying dataset; a plain
+        dataset is a single span covering everything."""
+        if not isinstance(self.subset, (list, tuple)):
+            return [(0, len(self._data_source), float(self.subset))]
+        spans, start = [], 0
+        for ds, frac in zip(self._data_source.datasets, self.subset):
+            spans.append((start, len(ds), float(frac)))
+            start += len(ds)
+        return spans
+
     def __iter__(self) -> Iterator[int]:
         seed = 0 if self.deterministic else np.random.randint(0, 2 ** 63 - 1)
         rng = np.random.default_rng(seed)
 
-        if isinstance(self.subset, (list, tuple)):
-            indices = []
-            start_idx = 0
-            for ds, s in zip(self._data_source.datasets, self.subset):
-                ds_indices = rng.permutation(len(ds)) + start_idx
-                indices.extend(ds_indices.tolist()[:int(len(ds) * s)])
-                start_idx += len(ds)
-        else:
-            indices = rng.permutation(len(self._data_source))
-            indices = indices.tolist()[:len(self)]
+        indices: List[int] = []
+        for start, length, frac in self._spans():
+            chosen = rng.permutation(length)[:int(length * frac)] + start
+            indices.extend(chosen.tolist())
 
         random.shuffle(indices)
         yield from indices
 
     def __len__(self) -> int:
-        if isinstance(self.subset, (list, tuple)):
-            return sum(
-                int(len(ds) * s)
-                for ds, s in zip(self._data_source.datasets, self.subset)
-            )
-        return int(len(self._data_source) * self.subset)
+        return sum(int(length * frac)
+                   for _, length, frac in self._spans())

@@ -42,6 +42,14 @@ def _thing_stuff_ids_from_sample(sample, use_meta):
 
 
 class InstanceClearStuffIDs(PreprocessingBase):
+    """Zero the instance id on every stuff/void pixel.
+
+    Downstream target generation and panoptic encoding treat id 0 as
+    "no instance"; any stray instance annotation on a stuff class (3D
+    box spill-over in some datasets) would otherwise create phantom
+    thing segments.
+    """
+
     def __init__(
         self,
         semantic_classes_is_thing: Union[None, Tuple[bool, ...]] = None,
@@ -49,20 +57,30 @@ class InstanceClearStuffIDs(PreprocessingBase):
         multiscale_processing: bool = True,
         disable_stats: bool = False,
     ) -> None:
-        self._stuff_class_ids = None
-        if semantic_classes_is_thing is not None:
+        if semantic_classes_is_thing is None:
+            self._stuff_class_ids = None
+        else:
             assert not use_is_thing_from_meta
-            is_stuff = np.logical_not(semantic_classes_is_thing)
-            self._stuff_class_ids = np.where(is_stuff)[0]   # including void
-        self._disable_stats = disable_stats
+            # void counts as stuff here: it must not carry instances
+            self._stuff_class_ids = np.flatnonzero(
+                ~np.asarray(semantic_classes_is_thing))
+        self._with_stats = not disable_stats
         self._use_is_thing_from_meta = use_is_thing_from_meta
         super().__init__(
-            fixed_parameters={
-                'use_is_thing_from_meta': self._use_is_thing_from_meta,
-                'disable_stats': self._disable_stats,
-            },
+            fixed_parameters=dict(
+                use_is_thing_from_meta=use_is_thing_from_meta,
+                disable_stats=disable_stats,
+            ),
             multiscale_processing=multiscale_processing,
         )
+
+    def _resolve_stuff_ids(self, sample: SampleType):
+        if self._stuff_class_ids is not None:
+            return self._stuff_class_ids
+        if not self._use_is_thing_from_meta:
+            return None
+        is_thing = sample['meta']['semantic_label_list'].classes_is_thing
+        return np.flatnonzero(~np.asarray(is_thing))
 
     def _preprocess(
         self, sample: SampleType, **kwargs
@@ -70,26 +88,18 @@ class InstanceClearStuffIDs(PreprocessingBase):
         if not _keys_available(sample, ('instance', 'semantic')):
             return sample, {}
 
-        stuff_class_ids = self._stuff_class_ids
-        if stuff_class_ids is None and self._use_is_thing_from_meta:
-            classes_is_thing = \
-                sample['meta']['semantic_label_list'].classes_is_thing
-            stuff_class_ids = np.where(np.logical_not(classes_is_thing))[0]
+        stuff_ids = self._resolve_stuff_ids(sample)
+        on_stuff = np.isin(sample['semantic'], stuff_ids)
 
-        stuff_mask = np.isin(sample['semantic'], stuff_class_ids)
+        dynamic: Dict[str, Any] = {'stuff_semantic_classes': stuff_ids}
+        if self._with_stats:
+            cleared_ids, n_pixels = np.unique(
+                sample['instance'][on_stuff], return_counts=True)
+            dynamic['cleared_instance_pixels'] = \
+                dict(zip(cleared_ids, n_pixels))
 
-        if not self._disable_stats:
-            classes, cnts = np.unique(sample['instance'][stuff_mask],
-                                      return_counts=True)
-            dynamic_parameters = {
-                'cleared_instance_pixels': dict(zip(classes, cnts)),
-                'stuff_semantic_classes': stuff_class_ids,
-            }
-        else:
-            dynamic_parameters = {'stuff_semantic_classes': stuff_class_ids}
-
-        sample['instance'][stuff_mask] = 0
-        return sample, dynamic_parameters
+        sample['instance'][on_stuff] = 0
+        return sample, dynamic
 
 
 class InstanceTargetGenerator(PreprocessingBase):

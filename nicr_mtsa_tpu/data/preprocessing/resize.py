@@ -152,6 +152,14 @@ def resize_image_bilinear(value: np.ndarray, height: int, width: int) -> np.ndar
     return out.astype(in_dtype)
 
 
+def _resizable_keys(sample: SampleType,
+                    keys_to_ignore: Optional[Iterable[str]]) -> list:
+    """Spatial keys minus explicit ignores and *_fullres backups."""
+    skip = list(keys_to_ignore or [])
+    skip += [k for k in sample if k.endswith(FULLRES_SUFFIX)]
+    return _get_relevant_spatial_keys(sample, keys_to_ignore=skip)
+
+
 def resize(
     sample: SampleType,
     height: int,
@@ -160,18 +168,17 @@ def resize(
 ) -> SampleType:
     """Resize all spatial entries; bilinear for `rgb`, nearest otherwise
     (depth, masks, segmentations, ...) -- reference resize.py:95-161."""
-    keys_to_ignore_list = list(keys_to_ignore or [])
-    keys_to_ignore_list.extend(
-        [k for k in sample if k.endswith(FULLRES_SUFFIX)]
-    )
-
-    for key in _get_relevant_spatial_keys(sample, keys_to_ignore=keys_to_ignore_list):
-        value = sample[key]
-        if 'rgb' == key:
-            sample[key] = resize_image_bilinear(value, height, width)
-        else:
-            sample[key] = resize_image_nearest(value, height, width)
+    for key in _resizable_keys(sample, keys_to_ignore):
+        kernel = resize_image_bilinear if key == 'rgb' \
+            else resize_image_nearest
+        sample[key] = kernel(sample[key], height, width)
     return sample
+
+
+_PAD_MODES = {
+    'zero': {'mode': 'constant', 'constant_values': 0},
+    'reflect': {'mode': 'reflect'},
+}
 
 
 def pad(
@@ -183,24 +190,13 @@ def pad(
     padding_mode: str = 'zero',
     keys_to_ignore: Optional[Iterable[str]] = None,
 ) -> SampleType:
-    keys_to_ignore_list = list(keys_to_ignore or [])
-    keys_to_ignore_list.extend(
-        [k for k in sample if k.endswith(FULLRES_SUFFIX)]
-    )
-
-    kwargs_lookup = {
-        'zero': {'mode': 'constant', 'constant_values': 0},
-        'reflect': {'mode': 'reflect'},
-    }
-
-    for key in _get_relevant_spatial_keys(sample, keys_to_ignore_list):
+    spatial = ((padding_top, padding_bottom), (padding_left, padding_right))
+    np_kwargs = _PAD_MODES[padding_mode]
+    for key in _resizable_keys(sample, keys_to_ignore):
         value = sample[key]
         assert value.ndim in (2, 3)    # channels last
-        padding = ((padding_top, padding_bottom),
-                   (padding_left, padding_right))
-        if value.ndim == 3:
-            padding = (*padding, (0, 0))
-        sample[key] = np.pad(value, padding, **kwargs_lookup[padding_mode])
+        widths = spatial if value.ndim == 2 else (*spatial, (0, 0))
+        sample[key] = np.pad(value, widths, **np_kwargs)
     return sample
 
 
@@ -229,34 +225,28 @@ class Resize(PreprocessingBase):
             multiscale_processing=False,
         )
 
+    def _fit(self, orig_h: int, orig_w: int):
+        """Content size + centered (top, bottom, left, right) padding."""
+        if not self._keep_aspect_ratio:
+            return (self._height, self._width), (0, 0, 0, 0)
+        scale = min(self._height / orig_h, self._width / orig_w)
+        fit_h, fit_w = int(round(scale * orig_h)), int(round(scale * orig_w))
+        slack_h, slack_w = self._height - fit_h, self._width - fit_w
+        return (fit_h, fit_w), (slack_h // 2, slack_h - slack_h // 2,
+                                slack_w // 2, slack_w - slack_w // 2)
+
     def _preprocess(
         self, sample: SampleType, **kwargs
     ) -> Tuple[SampleType, Dict[str, Any]]:
         orig_height, orig_width = _get_input_shape(sample)
+        (fit_h, fit_w), (top, bottom, left, right) = \
+            self._fit(orig_height, orig_width)
 
-        if not self._keep_aspect_ratio:
-            height, width = self._height, self._width
-            pad_top = pad_bottom = pad_left = pad_right = 0
-            valid_region_slice_y = slice(0, height)
-            valid_region_slice_x = slice(0, width)
-        else:
-            scale = min(self._height / orig_height, self._width / orig_width)
-            height = int(round(scale * orig_height))
-            width = int(round(scale * orig_width))
-            pad_height = self._height - height
-            pad_top = pad_height // 2
-            pad_bottom = pad_height - pad_top
-            pad_width = self._width - width
-            pad_left = pad_width // 2
-            pad_right = pad_width - pad_left
-            valid_region_slice_y = slice(pad_top, pad_top + height)
-            valid_region_slice_x = slice(pad_left, pad_left + width)
-
-        sample = resize(sample, height=height, width=width,
+        sample = resize(sample, height=fit_h, width=fit_w,
                         keys_to_ignore=self._keys_to_ignore)
         sample = pad(sample,
-                     padding_top=pad_top, padding_bottom=pad_bottom,
-                     padding_left=pad_left, padding_right=pad_right,
+                     padding_top=top, padding_bottom=bottom,
+                     padding_left=left, padding_right=right,
                      padding_mode=self._padding_mode,
                      keys_to_ignore=self._keys_to_ignore)
 
@@ -265,8 +255,8 @@ class Resize(PreprocessingBase):
             'old_width': orig_width,
             'new_height': self._height,
             'new_width': self._width,
-            'valid_region_slice_y': valid_region_slice_y,
-            'valid_region_slice_x': valid_region_slice_x,
+            'valid_region_slice_y': slice(top, top + fit_h),
+            'valid_region_slice_x': slice(left, left + fit_w),
         }
 
 

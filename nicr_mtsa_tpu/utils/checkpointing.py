@@ -1,88 +1,92 @@
 """Checkpoint policy: which validation metrics trigger a checkpoint.
 
-Framework-agnostic policy class with the same semantics as the
-reference CheckpointHelper (checkpointing.py:11-150):
+Framework-agnostic policy with the semantics of the reference
+CheckpointHelper (``checkpointing.py:11-150``):
 
-- metric shorthands ('miou', 'bacc', 'miou+bacc') are lazily matched
-  against validation log keys on the first epoch (substring match over
-  keys containing 'valid' and not 'best'; ambiguity is an error),
-- direction is inferred from the name (miou/acc/rq/sq/pq: higher is
-  better; mae/rmse/loss: lower is better),
-- combined metrics ('a+b') sum their matched log values.
+- metric shorthands ('miou', 'bacc', 'miou+bacc') are lazily resolved
+  against validation log keys on the first epoch — substring match over
+  keys containing 'valid' and not 'best'; zero or multiple matches are
+  errors so a typo can never silently track the wrong metric,
+- improvement direction is inferred from the name (miou/acc/rq/sq/pq go
+  up, mae/rmse/loss go down),
+- combined shorthands ('a+b') track the sum of their resolved values.
 
 Checkpoint *format* is handled separately by orbax-style pytree
 checkpoints (see parallel/checkpoint.py).
 """
-from typing import Any, Dict, Optional, Sequence, Tuple
-
 from copy import deepcopy
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+_ASCENDING_HINTS = ('miou', 'acc', 'rq', 'sq', 'pq')
+_DESCENDING_HINTS = ('mae', 'rmse', 'loss')
 
 
-_LARGER_IS_BETTER = ('miou', 'acc', 'rq', 'sq', 'pq')
-_SMALLER_IS_BETTER = ('mae', 'rmse', 'loss')
+def _resolve_shorthand(shorthand: str,
+                       logs: Dict[str, Any]) -> Tuple[str, ...]:
+    """Map each '+'-joined part of `shorthand` to exactly one log key."""
+    resolved: List[str] = []
+    for part in shorthand.split('+'):
+        hits = [k for k in logs
+                if part in k and 'valid' in k and 'best' not in k]
+        if len(hits) != 1:
+            if not hits:
+                raise ValueError(
+                    f"No suitable metric found for '{part}'. "
+                    f"Available keys for matching: {list(logs.keys())}")
+            raise ValueError(
+                f"Multiple suitable metrics: '{hits}' for '{part}' found.")
+        resolved.append(hits[0])
+    return tuple(resolved)
+
+
+def _improved(shorthand: str, new_value, best_so_far) -> bool:
+    ascending = any(h in shorthand for h in _ASCENDING_HINTS)
+    descending = any(h in shorthand for h in _DESCENDING_HINTS)
+    if ascending == descending:    # neither, or both: direction unknown
+        raise ValueError(
+            f"Cannot determine better value for '{shorthand}' "
+            f"(new: '{new_value}' '>' vs. '<' old: '{best_so_far}').")
+    if best_so_far is None:
+        return True
+    return (new_value > best_so_far) if ascending \
+        else (new_value < best_so_far)
 
 
 class CheckpointHelper:
+    """Track best validation metrics and decide when to checkpoint."""
+
     def __init__(
         self,
         metric_names: Optional[Sequence[str]] = None,
         debug: bool = True,
     ) -> None:
-        if metric_names is None:
-            self._metric_mapping = None
-        else:
-            self._metric_mapping = {name: [] for name in metric_names}
-        self._metrics_determined = False
+        # None disables checkpointing entirely
+        self._shorthands = tuple(metric_names) if metric_names else None
+        self._resolved: Optional[Dict[str, Tuple[str, ...]]] = None
+        self._bests: Dict[str, Any] = {}
         self._debug = debug
-        self._cache_bests: Dict[str, Any] = {}
 
     @property
     def metric_mapping(self) -> Optional[Dict[str, Tuple[str, ...]]]:
-        return self._metric_mapping
+        if self._shorthands is None:
+            return None
+        # before the first check_for_checkpoint call the mapping is the
+        # not-yet-resolved skeleton, matching the reference's shape
+        return self._resolved if self._resolved is not None \
+            else {name: [] for name in self._shorthands}
 
     @property
     def metric_mapping_joined(self) -> Dict[str, str]:
-        if self._metric_mapping is None:
+        mapping = self.metric_mapping
+        if not mapping:
             return {}
-        return {n: '+'.join(ms) for n, ms in self._metric_mapping.items()}
+        return {name: '+'.join(keys) for name, keys in mapping.items()}
 
-    @staticmethod
-    def _determine_checkpoint_metrics(
-        to_search_for: str,
-        logs: Dict[str, Any],
-    ) -> Tuple[str, ...]:
-        matched = []
-        for m in to_search_for.split('+'):
-            candidates = [
-                key for key in logs
-                if 'best' not in key and 'valid' in key and m in key
-            ]
-            if len(candidates) == 0:
-                raise ValueError(
-                    f"No suitable metric found for '{m}'. "
-                    f"Available keys for matching: {list(logs.keys())}"
-                )
-            if len(candidates) > 1:
-                raise ValueError(
-                    f"Multiple suitable metrics: '{candidates}' for "
-                    f"'{m}' found."
-                )
-            matched.append(candidates[0])
-        return tuple(matched)
-
-    @staticmethod
-    def _is_new_better(metric: str, new_value, old_value) -> bool:
-        larger = any(s in metric for s in _LARGER_IS_BETTER)
-        smaller = any(s in metric for s in _SMALLER_IS_BETTER)
-
-        if not (larger ^ smaller):
-            raise ValueError(
-                f"Cannot determine better value for '{metric}' "
-                f"(new: '{new_value}' '>' vs. '<' old: '{old_value}')."
-            )
-        if old_value is None:
-            return True
-        return new_value > old_value if larger else new_value < old_value
+    def _combined_value(self, keys: Tuple[str, ...], logs: Dict[str, Any]):
+        total = logs[keys[0]]
+        for key in keys[1:]:
+            total = total + logs[key]
+        return total
 
     def check_for_checkpoint(
         self,
@@ -90,36 +94,29 @@ class CheckpointHelper:
         add_checkpoint_metrics_to_logs: bool = True,
     ) -> Dict[str, bool]:
         """Return {metric_name: True} for metrics that hit a new best."""
-        if self._metric_mapping is None:
+        if self._shorthands is None:
             return {}
 
-        if not self._metrics_determined:
-            for name in self._metric_mapping:
-                self._metric_mapping[name] = \
-                    self._determine_checkpoint_metrics(name, logs)
+        if self._resolved is None:
+            self._resolved = {
+                name: _resolve_shorthand(name, logs)
+                for name in self._shorthands
+            }
             if self._debug:
-                print(f"Using '{self._metric_mapping}' for checkpointing.")
-            self._metrics_determined = True
+                print(f"Using '{self._resolved}' for checkpointing.")
 
-        do_create_checkpoint = {}
-        for name, metrics in self._metric_mapping.items():
-            old_value = self._cache_bests.get(name, None)
-
-            new_value = logs[metrics[0]]
-            assert len(metrics) == 1 or (len(metrics) > 1 and '+' in name)
-            for m in metrics[1:]:
-                new_value = new_value + logs[m]
-
-            if self._is_new_better(name, new_value, old_value):
+        wants_checkpoint: Dict[str, bool] = {}
+        for name, keys in self._resolved.items():
+            value = self._combined_value(keys, logs)
+            if _improved(name, value, self._bests.get(name)):
                 if self._debug:
-                    print(f"Checkpoint metric '{name}: {metrics}' reached "
-                          f"new best value! (new: '{new_value}', old: "
-                          f"'{old_value}')")
-                self._cache_bests[name] = new_value
-                do_create_checkpoint[name] = True
-
+                    print(f"Checkpoint metric '{name}: {keys}' reached "
+                          f"new best value! (new: '{value}', old: "
+                          f"'{self._bests.get(name)}')")
+                self._bests[name] = value
+                wants_checkpoint[name] = True
             if add_checkpoint_metrics_to_logs:
-                full_name = self.metric_mapping_joined[name]
-                logs[f'ckpt_{full_name}'] = deepcopy(new_value)
+                logs[f'ckpt_{self.metric_mapping_joined[name]}'] = \
+                    deepcopy(value)
 
-        return do_create_checkpoint
+        return wants_checkpoint

@@ -1,20 +1,37 @@
-"""Dynamic Weight Average (reference loss_weighting/dwa.py:15-101,
-after Liu et al., arXiv:1803.10704): per-epoch weights are the softmax
-of the loss ratio between the last two epochs, scaled by the number of
-tasks and a temperature. The epoch buffer and two-epoch history are
-host-side trainer state and must be part of checkpoints (see
-parallel/checkpoint.py)."""
-from collections import deque
-from copy import deepcopy
-from typing import Dict, Sequence
+"""Dynamic Weight Average multi-task loss weighting.
+
+Counterpart of reference ``loss_weighting/dwa.py`` (Liu et al.,
+arXiv:1803.10704). At each epoch boundary the per-task weight becomes
+
+    w_k = T_n * softmax( mean_loss_k(t-1) / mean_loss_k(t-2) / temp )
+
+so tasks whose loss stopped falling get boosted. Until two full epochs
+of history exist, all weights are 1. All of this is host-side trainer
+state (per-step losses are tiny scalars already fetched for logging);
+it must ride along in checkpoints — see ``state_dict`` and
+parallel/checkpoint.py.
+"""
+from typing import Dict, List, Sequence
 
 import numpy as np
-
 
 from .base import LossWeightingBase
 
 
+def _dwa_weights(prev_epoch: Dict[str, float],
+                 prev_prev_epoch: Dict[str, float],
+                 keys: Sequence[str],
+                 temperature: float) -> Dict[str, float]:
+    descent = np.array([prev_epoch[k] / prev_prev_epoch[k] for k in keys],
+                       dtype=np.float64)
+    scores = np.exp(descent / temperature)
+    scale = len(keys) / scores.sum()
+    return {k: float(s * scale) for k, s in zip(keys, scores)}
+
+
 class DynamicWeightAverage(LossWeightingBase):
+    """Per-epoch softmax-of-loss-ratio task weights."""
+
     def __init__(
         self,
         loss_keys_to_consider: Sequence[str],
@@ -22,62 +39,56 @@ class DynamicWeightAverage(LossWeightingBase):
     ) -> None:
         self._loss_keys = tuple(loss_keys_to_consider)
         self._temperature = temperature
-
-        self._loss_history = deque([], maxlen=2)
-        self._loss_buffer = []
-        self._default_weights = {k: 1.0 for k in self._loss_keys}
-        self._weights = deepcopy(self._default_weights)
+        self.reset_weights()
 
     @property
     def weights(self) -> Dict[str, float]:
         return self._weights
 
     def reset_weights(self) -> None:
-        self._loss_buffer = []
-        self._loss_history = deque([], maxlen=2)
-        self._weights = deepcopy(self._default_weights)
+        # two-epoch mean-loss history, the running epoch's raw losses,
+        # and the active weights (unit until history fills)
+        self._epoch_means: List[Dict[str, float]] = []
+        self._loss_buffer: List[Dict[str, float]] = []
+        self._weights = {k: 1.0 for k in self._loss_keys}
 
-    def _compute_weights(self) -> None:
+    def _close_epoch(self) -> None:
+        """Fold the buffered epoch into the history, refresh weights."""
         if self._loss_buffer:
-            self._loss_history.append({
-                k: float(np.mean([float(losses[k])
-                                  for losses in self._loss_buffer]))
+            means = {
+                k: float(np.mean([step[k] for step in self._loss_buffer]))
                 for k in self._loss_keys
-            })
+            }
+            self._epoch_means = (self._epoch_means + [means])[-2:]
 
-        if len(self._loss_history) < 2:
-            self._weights = deepcopy(self._default_weights)
-            return
-
-        ratios = np.array([
-            self._loss_history[-1][k] / self._loss_history[-2][k]
-            for k in self._loss_keys
-        ])
-        e = np.exp(ratios / self._temperature)
-        weights = len(ratios) * e / e.sum()
-        self._weights = {k: float(w)
-                         for k, w in zip(self._loss_keys, weights)}
+        if len(self._epoch_means) == 2:
+            self._weights = _dwa_weights(
+                self._epoch_means[-1], self._epoch_means[-2],
+                self._loss_keys, self._temperature)
+        else:
+            self._weights = {k: 1.0 for k in self._loss_keys}
 
     def reduce_losses(self, losses: Dict, batch_idx: int):
-        if 0 == batch_idx:
-            # new epoch: recompute weights from the buffered epoch means
-            self._compute_weights()
+        if batch_idx == 0:
+            self._close_epoch()
 
-        detached = {k: float(losses[k]) for k in self._loss_keys}
-        if len(self._loss_buffer) == batch_idx:
-            self._loss_buffer.append(detached)
+        snapshot = {k: float(losses[k]) for k in self._loss_keys}
+        if batch_idx < len(self._loss_buffer):
+            # resumed/repeated step: overwrite in place (epochs are
+            # assumed equal length, as in the reference)
+            self._loss_buffer[batch_idx] = snapshot
         else:
-            self._loss_buffer[batch_idx] = detached
+            self._loss_buffer.append(snapshot)
 
         return self._weighted_sum(losses)
 
-    # --- checkpoint/resume support ------------------------------------------
+    # --- checkpoint/resume support ---------------------------------------
     def state_dict(self) -> Dict:
-        return {'loss_history': list(self._loss_history),
+        return {'loss_history': list(self._epoch_means),
                 'loss_buffer': list(self._loss_buffer),
                 'weights': dict(self._weights)}
 
     def load_state_dict(self, state: Dict) -> None:
-        self._loss_history = deque(state['loss_history'], maxlen=2)
+        self._epoch_means = list(state['loss_history'])[-2:]
         self._loss_buffer = list(state['loss_buffer'])
         self._weights = dict(state['weights'])

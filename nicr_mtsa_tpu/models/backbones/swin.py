@@ -86,14 +86,21 @@ def _log_cpb_coords(ws: int) -> np.ndarray:
     return flat, idx
 
 
-def _shift_attn_mask(H: int, W: int, ws: int, shift: int) -> np.ndarray:
+def _shift_attn_mask(H: int, W: int, ws: int, shift_h: int,
+                     shift_w: int) -> np.ndarray:
     """(num_windows, N, N) additive mask for shifted-window attention
-    (static at trace time)."""
+    (static at trace time). Matches torchvision's region construction,
+    including the degenerate per-dim shift=0 case (the -0 slices
+    collapse so that dimension contributes no partitioning)."""
     img = np.zeros((H, W), np.int32)
     cnt = 0
-    for h_sl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
-        for w_sl in (slice(0, -ws), slice(-ws, -shift),
-                     slice(-shift, None)):
+    # -shift as a slice bound is 0 when shift == 0: the middle slice is
+    # then empty and the last covers everything, exactly as in
+    # torchvision (shift 0 -> no partitioning along that dim)
+    for h_sl in (slice(0, -ws), slice(-ws, -shift_h if shift_h else 0),
+                 slice(-shift_h if shift_h else 0, None)):
+        for w_sl in (slice(0, -ws), slice(-ws, -shift_w if shift_w else 0),
+                     slice(-shift_w if shift_w else 0, None)):
             img[h_sl, w_sl] = cnt
             cnt += 1
     img = img.reshape(H // ws, ws, W // ws, ws).transpose(0, 2, 1, 3)
@@ -193,26 +200,29 @@ class SwinBlock(nn.Module):
         B, H, W, C = x.shape
         ws = self.window_size
 
-        # pad to window multiples (cropped after)
+        # pad to window multiples (cropped after); the shift disables
+        # per dimension when one window already covers it, matching
+        # torchvision's shifted_window_attention
         pad_h = (ws - H % ws) % ws
         pad_w = (ws - W % ws) % ws
-        shift = self.shift if min(H, W) > ws or pad_h or pad_w else 0
         Hp, Wp = H + pad_h, W + pad_w
+        shift_h = self.shift if ws < Hp else 0
+        shift_w = self.shift if ws < Wp else 0
 
         def attention_part(y):
             if pad_h or pad_w:
                 y = jnp.pad(y, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
             mask = None
-            if shift > 0:
-                y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
-                mask = _shift_attn_mask(Hp, Wp, ws, shift)
+            if shift_h or shift_w:
+                y = jnp.roll(y, (-shift_h, -shift_w), axis=(1, 2))
+                mask = _shift_attn_mask(Hp, Wp, ws, shift_h, shift_w)
             windows = window_partition(y, ws)
             windows = WindowAttention(
                 dim=C, n_heads=self.n_heads, window_size=ws,
                 v2=self.v2, dtype=self.dtype, name='attn')(windows, mask)
             y = window_unpartition(windows, ws, Hp, Wp)
-            if shift > 0:
-                y = jnp.roll(y, (shift, shift), axis=(1, 2))
+            if shift_h or shift_w:
+                y = jnp.roll(y, (shift_h, shift_w), axis=(1, 2))
             if pad_h or pad_w:
                 y = y[:, :H, :W]
             return y
@@ -221,7 +231,10 @@ class SwinBlock(nn.Module):
             hidden = int(C * self.mlp_ratio)
             y = nn.Dense(hidden, dtype=self.dtype,
                          kernel_init=_trunc_normal(), name='mlp_fc1')(y)
-            y = jax.nn.gelu(y)
+            # exact (erf) GELU: torch nn.GELU default; the jax default
+            # tanh approximation deviates ~1e-3 and breaks weight-port
+            # parity
+            y = jax.nn.gelu(y, approximate=False)
             return nn.Dense(C, dtype=self.dtype,
                             kernel_init=_trunc_normal(), name='mlp_fc2')(y)
 

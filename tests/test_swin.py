@@ -47,12 +47,16 @@ def test_relative_position_index():
 
 
 def test_shift_mask():
-    mask = _shift_attn_mask(14, 14, 7, 3)
+    mask = _shift_attn_mask(14, 14, 7, 3, 3)
     assert mask.shape == (4, 49, 49)
     # first (unshifted-interior) window: fully visible
     assert (mask[0] == 0).all()
     # boundary windows have blocked pairs
     assert (mask[-1] < 0).any()
+    # per-dim degenerate shift: shift_w == 0 partitions rows only
+    mask_h = _shift_attn_mask(14, 7, 7, 3, 0)
+    assert mask_h.shape == (2, 49, 49)
+    assert (mask_h[0] == 0).all() and (mask_h[-1] < 0).any()
 
 
 @pytest.mark.parametrize('name,embed', [

@@ -191,3 +191,209 @@ def test_swin_port_structural():
     # spatial dims halve with ceil at each merge: 14 -> 7 -> 4 -> 2
     assert outs[-1].shape == (1, 2, 2, embed * 8)
     assert np.isfinite(np.asarray(outs[-1])).all()
+
+
+# --------------------------------------------------------------------------
+# numeric Swin parity: inline torch Swin v1 with torchvision's exact
+# shifted-window-attention semantics (the reference wraps torchvision,
+# model/backbone/swin.py:18-260) vs the flax SwinBackbone with ported
+# weights
+# --------------------------------------------------------------------------
+
+def _torch_shifted_window_attention(x, qkv_w, qkv_b, proj_w, proj_b,
+                                    bias_table, window_size, shift_size,
+                                    num_heads):
+    """Line-for-line torchvision shifted_window_attention (v1)."""
+    import torch.nn.functional as F
+    B, H, W, C = x.shape
+    ws = window_size
+    pad_r = (ws - W % ws) % ws
+    pad_b = (ws - H % ws) % ws
+    x = F.pad(x, (0, 0, 0, pad_r, 0, pad_b))
+    _, pad_H, pad_W, _ = x.shape
+
+    shift = [shift_size, shift_size]
+    if ws >= pad_H:
+        shift[0] = 0
+    if ws >= pad_W:
+        shift[1] = 0
+
+    if sum(shift) > 0:
+        x = torch.roll(x, shifts=(-shift[0], -shift[1]), dims=(1, 2))
+
+    num_windows = (pad_H // ws) * (pad_W // ws)
+    x = x.view(B, pad_H // ws, ws, pad_W // ws, ws, C)
+    x = x.permute(0, 1, 3, 2, 4, 5).reshape(B * num_windows, ws * ws, C)
+
+    qkv = F.linear(x, qkv_w, qkv_b)
+    qkv = qkv.reshape(x.size(0), x.size(1), 3, num_heads,
+                      C // num_heads).permute(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    q = q * (C // num_heads) ** -0.5
+    attn = q.matmul(k.transpose(-2, -1))
+
+    # relative position bias
+    N = ws * ws
+    coords = torch.stack(torch.meshgrid(
+        torch.arange(ws), torch.arange(ws), indexing='ij'))
+    flat = torch.flatten(coords, 1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.permute(1, 2, 0).contiguous() + (ws - 1)
+    idx = (rel[..., 0] * (2 * ws - 1) + rel[..., 1]).flatten()
+    bias = bias_table[idx].view(N, N, -1).permute(2, 0, 1)
+    attn = attn + bias.unsqueeze(0)
+
+    if sum(shift) > 0:
+        attn_mask = x.new_zeros((pad_H, pad_W))
+        h_slices = ((0, -ws), (-ws, -shift[0]), (-shift[0], None))
+        w_slices = ((0, -ws), (-ws, -shift[1]), (-shift[1], None))
+        count = 0
+        for h in h_slices:
+            for w in w_slices:
+                attn_mask[h[0]:h[1], w[0]:w[1]] = count
+                count += 1
+        attn_mask = attn_mask.view(pad_H // ws, ws, pad_W // ws, ws)
+        attn_mask = attn_mask.permute(0, 2, 1, 3).reshape(num_windows,
+                                                          ws * ws)
+        attn_mask = attn_mask.unsqueeze(1) - attn_mask.unsqueeze(2)
+        attn_mask = attn_mask.masked_fill(
+            attn_mask != 0, float(-100.0)).masked_fill(
+            attn_mask == 0, float(0.0))
+        attn = attn.view(x.size(0) // num_windows, num_windows,
+                         num_heads, N, N)
+        attn = attn + attn_mask.unsqueeze(1).unsqueeze(0)
+        attn = attn.view(-1, num_heads, N, N)
+
+    attn = F.softmax(attn, dim=-1)
+    x = attn.matmul(v).transpose(1, 2).reshape(x.size(0), N, C)
+    x = F.linear(x, proj_w, proj_b)
+
+    x = x.view(B, pad_H // ws, pad_W // ws, ws, ws, C)
+    x = x.permute(0, 1, 3, 2, 4, 5).reshape(B, pad_H, pad_W, C)
+
+    if sum(shift) > 0:
+        x = torch.roll(x, shifts=(shift[0], shift[1]), dims=(1, 2))
+    return x[:, :H, :W, :].contiguous()
+
+
+class _TorchSwinAttention(tnn.Module):
+    def __init__(self, dim, num_heads, window_size, shift):
+        super().__init__()
+        self.qkv = tnn.Linear(dim, 3 * dim)
+        self.proj = tnn.Linear(dim, dim)
+        self.relative_position_bias_table = tnn.Parameter(
+            torch.randn((2 * window_size - 1) ** 2, num_heads) * 0.02)
+        self.window_size, self.shift = window_size, shift
+        self.num_heads = num_heads
+
+    def forward(self, x):
+        return _torch_shifted_window_attention(
+            x, self.qkv.weight, self.qkv.bias, self.proj.weight,
+            self.proj.bias, self.relative_position_bias_table,
+            self.window_size, self.shift, self.num_heads)
+
+
+class _TorchSwinBlock(tnn.Module):
+    def __init__(self, dim, num_heads, window_size, shift):
+        super().__init__()
+        self.norm1 = tnn.LayerNorm(dim)
+        self.attn = _TorchSwinAttention(dim, num_heads, window_size, shift)
+        self.norm2 = tnn.LayerNorm(dim)
+        self.mlp = tnn.Sequential(
+            tnn.Linear(dim, 4 * dim), tnn.GELU(), tnn.Dropout(0.0),
+            tnn.Linear(4 * dim, dim), tnn.Dropout(0.0))
+
+    def forward(self, x):
+        x = x + self.attn(self.norm1(x))
+        return x + self.mlp(self.norm2(x))
+
+
+class _TorchPatchMerging(tnn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.reduction = tnn.Linear(4 * dim, 2 * dim, bias=False)
+        self.norm = tnn.LayerNorm(4 * dim)
+
+    def forward(self, x):
+        import torch.nn.functional as F
+        _, H, W, _ = x.shape
+        x = F.pad(x, (0, 0, 0, W % 2, 0, H % 2))
+        x0 = x[..., 0::2, 0::2, :]
+        x1 = x[..., 1::2, 0::2, :]
+        x2 = x[..., 0::2, 1::2, :]
+        x3 = x[..., 1::2, 1::2, :]
+        x = torch.cat([x0, x1, x2, x3], -1)
+        return self.reduction(self.norm(x))
+
+
+class _Permute(tnn.Module):
+    def forward(self, x):
+        return x.permute(0, 2, 3, 1)
+
+
+class _TorchSwin(tnn.Module):
+    """torchvision-style swin_transformer with 4 single-block stages."""
+
+    def __init__(self, embed=16, heads=(2, 4, 8, 16), ws=7,
+                 depths=(1, 1, 1, 1)):
+        super().__init__()
+        feats = [tnn.Sequential(tnn.Conv2d(3, embed, 4, 4), _Permute(),
+                                tnn.LayerNorm(embed))]
+        for s, depth in enumerate(depths):
+            dim = embed * 2 ** s
+            feats.append(tnn.Sequential(*[
+                _TorchSwinBlock(dim, heads[s], ws,
+                                0 if b % 2 == 0 else ws // 2)
+                for b in range(depth)]))
+            if s < len(depths) - 1:
+                feats.append(_TorchPatchMerging(dim))
+        self.features = tnn.Sequential(*feats)
+        self.norm = tnn.LayerNorm(embed * 2 ** (len(depths) - 1))
+
+    def forward(self, x):
+        outs = []
+        x = self.features[0](x)
+        outs.append(x)
+        i = 1
+        while i < len(self.features):
+            if i > 1:
+                x = self.features[i](x)   # merge
+                i += 1
+            x = self.features[i](x)       # blocks
+            i += 1
+            outs.append(x)
+        outs[-1] = self.norm(outs[-1])
+        return outs
+
+
+@pytest.mark.parametrize('hw', [(112, 140), (28, 28)])
+def test_swin_forward_parity(hw):
+    """Numeric weight-port parity across all 4 stages, at a size with
+    active shifts + padding (112x140) and at a degenerate size where
+    torchvision disables the shift per-dim (28x28 -> 7x7 features)."""
+    from nicr_mtsa_tpu.models.backbones.swin import SwinBackbone
+    from nicr_mtsa_tpu.utils.torch_port import port_swin_state_dict
+
+    torch.manual_seed(0)
+    depths, heads, embed, ws = (1, 2, 1, 1), (2, 4, 8, 16), 16, 7
+    tmodel = _TorchSwin(embed=embed, heads=heads, ws=ws,
+                        depths=depths).eval()
+
+    variables = port_swin_state_dict(tmodel.state_dict(), depths=depths)
+
+    jmodel = SwinBackbone(embed_dim=embed, depths=depths, n_heads=heads,
+                          window_size=ws, stochastic_depth=0.0)
+
+    H, W = hw
+    x = np.random.default_rng(0).normal(size=(2, H, W, 3)) \
+        .astype(np.float32)
+    with torch.no_grad():
+        t_outs = tmodel(torch.tensor(x.transpose(0, 3, 1, 2)))
+    j_outs = jmodel.apply({'params': variables['params']},
+                          jnp.asarray(x), train=False)
+
+    assert len(j_outs) == len(t_outs) == 5
+    for i, (j, t) in enumerate(zip(j_outs, t_outs)):
+        np.testing.assert_allclose(np.asarray(j), t.numpy(),
+                                   atol=1e-4, rtol=1e-4,
+                                   err_msg=f'stage {i}')

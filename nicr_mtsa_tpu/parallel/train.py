@@ -53,6 +53,74 @@ def make_sharded_eval_forward(pipeline, mesh: Mesh, axis_name: str = 'data',
                    out_shardings=data)
 
 
+def make_sharded_eval_step(pipeline, mesh: Mesh,
+                           static_batch: Optional[Dict] = None,
+                           axis_name: str = 'data'):
+    """ONE jitted evaluation program over the mesh: forward +
+    postprocessing + losses via GSPMD (jit with shardings keeps global
+    semantics, so losses match the single-device fused step exactly),
+    and metric-STATE updates per-shard inside `shard_map` with an
+    explicit `psum_state` all-reduce over `axis_name`.
+
+    The shard_map section is the TPU-native replacement for
+    torchmetrics' `dist_reduce_fx='sum'` (reference metric/pq.py:
+    228-246 accumulates per-process states that DDP sums at compute
+    time): every device updates an empty state from its local batch
+    shard, the psum rides ICI, and the summed contribution is added to
+    the carried state — so the returned states are replicated and
+    bit-equal to a single-device `make_fused_eval_step` run on the
+    unsharded batch (tested in tests/test_parallel.py).
+
+    Returns `step(params, batch_stats, batch, metric_states) ->
+    (predictions_post, losses, new_metric_states)`; `batch` must be
+    arrays-only (`strip_non_arrays`), non-array provenance goes in
+    `static_batch`."""
+    from ..metrics.base import add_states, psum_state
+
+    helpers = pipeline.task_helpers
+    repl = replicated(mesh)
+    data = batch_sharding(mesh, axis_name)
+    static_batch = dict(static_batch or {})
+    metric_helpers = {name: h for name, h in helpers.items()
+                      if hasattr(h, 'update_metric_states')}
+
+    def _local_update(batch_shard, preds_shard):
+        contribs = {}
+        for name, helper in metric_helpers.items():
+            full = dict(batch_shard)
+            full.update(static_batch)
+            contribs[name] = helper.update_metric_states(
+                None, full, preds_shard)
+        return psum_state(contribs, axis_name)
+
+    def step(params, batch_stats, batch, metric_states):
+        full_batch = dict(batch)
+        full_batch.update(static_batch)
+        predictions_post = pipeline._val_forward_impl(
+            params, batch_stats, full_batch)
+
+        losses = {}
+        for name, helper in helpers.items():
+            if hasattr(helper, 'compute_losses') and name != 'panoptic':
+                losses.update(helper.compute_losses(
+                    full_batch, predictions_post))
+
+        contribs = jax.shard_map(
+            _local_update, mesh=mesh,
+            in_specs=(P(axis_name), P(axis_name)),
+            out_specs=P())(batch, predictions_post)
+
+        new_states = dict(metric_states)
+        for name in metric_helpers:
+            prev = metric_states.get(name)
+            new_states[name] = contribs[name] if prev is None \
+                else add_states(prev, contribs[name])
+        return predictions_post, losses, new_states
+
+    return jax.jit(step, in_shardings=(repl, repl, data, repl),
+                   out_shardings=(data, repl, repl))
+
+
 def make_sharded_infer(pipeline, mesh: Mesh, axis_name: str = 'data'):
     """Data-parallel SERVING: shard a PanopticInferencePipeline's
     uint8 frame batch over the mesh's `data` axis with replicated

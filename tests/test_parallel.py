@@ -255,3 +255,82 @@ def test_step_checkpoint_restores_optax_structure(tmp_path):
         jax.tree_util.tree_map(jnp.asarray, restored['params']))
     new_params = optax.apply_updates(restored['params'], updates)
     assert np.isfinite(np.asarray(new_params['w'])).all()
+
+
+def test_sharded_fused_eval_step_matches_single_device():
+    """The full fused eval (forward + postprocessing + losses + metric
+    states) over a 4-device mesh must reproduce the single-device
+    `make_fused_eval_step` run: identical predictions, losses, and —
+    the dist_reduce_fx='sum' replacement — identical PQ/mIoU/confusion
+    states after the shard_map psum_state all-reduce."""
+    from test_pipeline import make_batch, make_pipeline
+
+    from nicr_mtsa_tpu.data.preprocessing.base import (
+        APPLIED_PREPROCESSING_KEY,
+    )
+    from nicr_mtsa_tpu.parallel.train import make_sharded_eval_step
+    from nicr_mtsa_tpu.pipeline import strip_non_arrays
+
+    pipeline = make_pipeline()
+    batch = make_batch(batch_size=4)
+    state = pipeline.create_train_state(
+        jax.random.PRNGKey(0), pipeline.model_inputs(batch))
+
+    static_batch = {
+        APPLIED_PREPROCESSING_KEY: batch[APPLIED_PREPROCESSING_KEY],
+    }
+    arrays = strip_non_arrays(batch)
+    empty = {name: helper.empty_metric_states()
+             for name, helper in pipeline.task_helpers.items()
+             if hasattr(helper, 'empty_metric_states')}
+
+    # single-device reference, two accumulating steps
+    ref_step = pipeline.make_fused_eval_step(static_batch)
+    _, ref_losses, ref_states = ref_step(
+        state['params'], state['batch_stats'], arrays, empty)
+    _, ref_losses, ref_states = ref_step(
+        state['params'], state['batch_stats'], arrays, ref_states)
+
+    mesh = make_mesh(4)
+    step = make_sharded_eval_step(pipeline, mesh,
+                                  static_batch=static_batch)
+    sharded_state = replicate(
+        {'params': state['params'], 'batch_stats': state['batch_stats']},
+        mesh)
+    sharded_batch = shard_batch(arrays, mesh)
+    sharded_empty = replicate(empty, mesh)
+
+    preds, losses, states = step(
+        sharded_state['params'], sharded_state['batch_stats'],
+        sharded_batch, sharded_empty)
+    preds, losses, states = step(
+        sharded_state['params'], sharded_state['batch_stats'],
+        sharded_batch, states)
+
+    # predictions stay data-sharded; losses replicated and equal
+    assert preds['semantic_segmentation_idx'].sharding.is_equivalent_to(
+        batch_sharding(mesh), ndim=3)
+    for key, ref_v in ref_losses.items():
+        np.testing.assert_allclose(float(losses[key]), float(ref_v),
+                                   rtol=1e-5, err_msg=key)
+
+    # metric states: exact for integer counts, tight for float sums
+    flat_ref, treedef_ref = jax.tree_util.tree_flatten(ref_states)
+    flat, treedef = jax.tree_util.tree_flatten(states)
+    assert treedef == treedef_ref
+    for a, b in zip(flat, flat_ref):
+        a, b = np.asarray(a), np.asarray(b)
+        if np.issubdtype(a.dtype, np.integer):
+            np.testing.assert_array_equal(a, b)
+        else:
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+    # PQ/mIoU computed from the reduced states are well-formed
+    pipeline.task_helpers['panoptic'].load_metric_states(
+        states['panoptic'])
+    pipeline.task_helpers['semantic']._metric_iou.state = \
+        states['semantic']
+    pipeline.task_helpers['scene']._cm_state = states['scene']
+    _, _, logs = pipeline.validation_epoch_end()
+    assert 0.0 <= float(logs['panoptic_all_deeplab_pq']) <= 1.0
+    assert 'semantic_miou' in logs

@@ -276,8 +276,12 @@ def main():
             prediction_upsampling='learned-3x3-zeropad',
             # serving: fuse the final semantic upsample with
             # argmax/score (ops/pallas/semantic_finisher.py) -- the
-            # (B, 480, 640, 40) logits tensor never touches HBM
-            defer_semantic_prediction_upsampling=not args.train,
+            # (B, 480, 640, 40) logits tensor never touches HBM.
+            # Eval/metric runs stay on the non-deferred reduce so
+            # reported mIoU/PQ are bit-identical to the standard
+            # model (deferred kernel may flip <0.5% bf16 tie pixels)
+            defer_semantic_prediction_upsampling=(
+                not args.train and not args.eval),
             dtype=jnp.bfloat16,
         )
     else:
@@ -285,7 +289,7 @@ def main():
         from nicr_mtsa_tpu.configs import BENCH_CONFIGS
         config = BENCH_CONFIGS[args.model](
             input_size=(H, W), dtype=jnp.bfloat16)
-        if (not args.train
+        if (not args.train and not args.eval
                 and config.prediction_upsampling == 'learned-3x3-zeropad'):
             config = dataclasses.replace(
                 config, defer_semantic_prediction_upsampling=True)

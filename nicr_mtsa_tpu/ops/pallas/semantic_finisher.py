@@ -134,7 +134,7 @@ def _finisher_call(xt, kt, bias, block_h, block_w, block_b, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C, 1), lambda ib, ih, iw: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
         ],
         out_specs=(out_spec, out_spec),
         out_shape=(

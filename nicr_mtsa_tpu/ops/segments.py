@@ -40,25 +40,42 @@ def unique_table(ids: jnp.ndarray, size: int) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=('n_classes_with_void', 'top_k',
-                                   'max_instances_per_category', 'size'))
+                                   'max_instances_per_category', 'size',
+                                   'check_contract'))
 def merged_segment_table(
     panoptic_map: jnp.ndarray,     # (B, ...) ids = class * M + rank
     n_classes_with_void: int,
     top_k: int,
     max_instances_per_category: int,
     size: int,
+    check_contract: bool = False,
 ) -> jnp.ndarray:
     """`unique_table` specialized to panoptic maps produced by
     `ops.merge.deeplab_merge` (or nearest-resizes of them), whose ids
     are class * M + rank with rank <= top_k: presence is a (C, K+1)
     one-hot histogram on the MXU plus a sort of the C*(K+1) candidate
     grid -- no O(P log P) sort of the pixel map (2 x ~13 ms per call
-    at (32, 512*512) in the fused eval step)."""
+    at (32, 512*512) in the fused eval step).
+
+    Any id OUTSIDE the class*M+rank contract (rank > top_k or
+    class >= C) has no candidate slot: its one-hots are all-zero and
+    the segment silently vanishes from the table. Maps not produced by
+    the merge (or a future rank-assignment change) must therefore pass
+    `check_contract=True` -- wrap the caller with
+    `utils.debug.checkify_invariants` to surface the violation as a
+    host error -- or use the general `unique_table` instead."""
     B = panoptic_map.shape[0]
     C, K, M = n_classes_with_void, top_k, max_instances_per_category
     flat = panoptic_map.reshape(B, -1).astype(jnp.int32)
     cls = flat // M
     rank = flat - cls * M                       # <= K for merged maps
+    if check_contract:
+        from jax.experimental import checkify
+        checkify.check(
+            jnp.all((rank <= K) & (cls >= 0) & (cls < C)),
+            'merged_segment_table: panoptic id outside the '
+            'class*M+rank contract (max rank {r}, max class {c})',
+            r=jnp.max(rank), c=jnp.max(cls))
     oh_c = jax.nn.one_hot(cls, C, dtype=jnp.bfloat16)
     oh_r = jax.nn.one_hot(rank, K + 1, dtype=jnp.bfloat16)
     counts = jnp.einsum('bpc,bpk->bck', oh_c, oh_r,

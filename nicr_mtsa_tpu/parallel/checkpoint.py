@@ -39,15 +39,61 @@ def save_checkpoint(path: str, state: Dict[str, Any],
         return path
 
 
-def _restructure(tree, target):
-    """Rebuild `target`'s pytree structure (optax NamedTuple states,
-    custom nodes) from a structurally-flattened checkpoint tree --
-    orbax restores unknown node types as plain dicts/lists."""
+def _check_leaf(value, target_leaf, path):
+    value = np.asarray(value)
+    t = np.asarray(target_leaf)
+    if value.shape != t.shape or value.dtype != t.dtype:
+        raise ValueError(
+            f'checkpoint leaf {path!r} has shape/dtype '
+            f'{value.shape}/{value.dtype}, expected {t.shape}/{t.dtype}'
+        )
+    return value
+
+
+def _restructure(tree, target, path=''):
+    """Rebuild `target`'s container types (optax NamedTuple states,
+    tuples) from orbax's plain dict/list restoration, matching BY KEY.
+
+    Never matches by flat leaf order: dicts flatten in sorted-key order
+    while NamedTuples flatten in field order, so order-based
+    unflattening silently permutes any state whose fields are not
+    alphabetical (e.g. optax.MultiStepsState), and identical
+    shapes (mu/nu) would mask the swap. Every leaf is shape/dtype
+    checked against the target."""
     if target is None:
         return tree
-    treedef = jax.tree_util.tree_structure(target)
-    return jax.tree_util.tree_unflatten(
-        treedef, jax.tree_util.tree_leaves(tree))
+    if tree is None:
+        # orbax serializes leafless subtrees (optax EmptyState, empty
+        # dicts) as None; the target already IS that empty structure
+        return target
+    if isinstance(target, tuple) and hasattr(target, '_fields'):
+        if isinstance(tree, dict):
+            vals = [_restructure(tree[name], getattr(target, name),
+                                 f'{path}/{name}')
+                    for name in target._fields]
+        else:
+            vals = [_restructure(v, t, f'{path}/{n}') for n, v, t in
+                    zip(target._fields, tree, target)]
+        return type(target)(*vals)
+    if isinstance(target, dict):
+        return {k: _restructure(tree[k], v, f'{path}/{k}')
+                for k, v in target.items()}
+    if isinstance(target, (list, tuple)):
+        if isinstance(tree, dict):    # orbax may key sequences '0'..'n'
+            seq = [tree[str(i)] for i in range(len(target))]
+        else:
+            seq = list(tree)
+        if len(seq) != len(target):
+            raise ValueError(
+                f'checkpoint node {path!r} has {len(seq)} entries, '
+                f'expected {len(target)}')
+        vals = [_restructure(v, t, f'{path}/{i}')
+                for i, (v, t) in enumerate(zip(seq, target))]
+        return type(target)(vals) if isinstance(target, list) \
+            else tuple(vals)
+    if hasattr(target, 'shape'):
+        return _check_leaf(tree, target, path)
+    return tree
 
 
 def load_checkpoint(path: str, target: Optional[Any] = None):
@@ -112,9 +158,36 @@ class StepCheckpointManager:
                 with open(os.path.join(self._dir, f'extra_{step}.pkl'),
                           'wb') as f:
                     pickle.dump(extra, f)
+            self._prune_extras(set(self._manager.all_steps()))
             return
         save_checkpoint(os.path.join(self._dir, f'step_{step}'),
                         state, extra)
+        self._prune_fallback()
+
+    def _prune_extras(self, kept_steps) -> None:
+        """Drop extra_{step}.pkl files whose orbax step dir is gone."""
+        for name in os.listdir(self._dir):
+            if name.startswith('extra_') and name.endswith('.pkl'):
+                step_str = name[len('extra_'):-len('.pkl')]
+                if step_str.isdigit() and int(step_str) not in kept_steps:
+                    os.remove(os.path.join(self._dir, name))
+
+    def _prune_fallback(self) -> None:
+        """keep-last-N for the no-orbax path: delete older step_* files
+        (and their sidecars) beyond max_to_keep."""
+        steps: Dict[int, list] = {}
+        for name in os.listdir(self._dir):
+            base = name.split('.')[0]
+            if base.startswith('step_') and base[5:].isdigit():
+                steps.setdefault(int(base[5:]), []).append(name)
+        for step in sorted(steps)[:-self._max_to_keep or None]:
+            for name in steps[step]:
+                full = os.path.join(self._dir, name)
+                if os.path.isdir(full):
+                    import shutil
+                    shutil.rmtree(full)
+                else:
+                    os.remove(full)
 
     def wait_until_finished(self) -> None:
         if self._manager is not None:

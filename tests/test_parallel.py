@@ -1,6 +1,8 @@
 """Mesh / sharding unit tests (SURVEY.md §2.8: the reference delegates
 DP to an external DDP/NCCL trainer; here it's first-class via
 jax.sharding). Runs on the 8-device virtual CPU mesh from conftest."""
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -334,3 +336,57 @@ def test_sharded_fused_eval_step_matches_single_device():
     _, _, logs = pipeline.validation_epoch_end()
     assert 0.0 <= float(logs['panoptic_all_deeplab_pq']) <= 1.0
     assert 'semantic_miou' in logs
+
+
+def test_restore_namedtuple_field_order(tmp_path):
+    """Restoring into a NamedTuple whose fields are NOT alphabetical
+    must match by field name, not flat leaf order (orbax returns plain
+    dicts, which flatten sorted — order-based unflattening would swap
+    the leaves silently when shapes coincide)."""
+    import collections
+    from nicr_mtsa_tpu.parallel.checkpoint import (
+        load_checkpoint, save_checkpoint,
+    )
+
+    Weird = collections.namedtuple('Weird', ['nu', 'mu'])  # not sorted
+    state = {'opt': Weird(nu=jnp.full((3,), 7.0), mu=jnp.full((3,), 2.0))}
+    path = str(tmp_path / 'ck')
+    save_checkpoint(path, state)
+
+    restored, _ = load_checkpoint(path, target=state)
+    assert isinstance(restored['opt'], Weird)
+    np.testing.assert_array_equal(np.asarray(restored['opt'].nu),
+                                  np.full((3,), 7.0))
+    np.testing.assert_array_equal(np.asarray(restored['opt'].mu),
+                                  np.full((3,), 2.0))
+
+
+def test_restore_shape_mismatch_raises(tmp_path):
+    from nicr_mtsa_tpu.parallel.checkpoint import (
+        load_checkpoint, save_checkpoint,
+    )
+    state = {'w': jnp.zeros((3,))}
+    path = str(tmp_path / 'ck')
+    save_checkpoint(path, state)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match='shape/dtype'):
+        load_checkpoint(path, target={'w': jnp.zeros((4,))})
+
+
+def test_fallback_retention_prunes_old_steps(tmp_path):
+    """keep-last-N must hold in the no-orbax fallback path too."""
+    from nicr_mtsa_tpu.parallel.checkpoint import StepCheckpointManager
+
+    mgr = StepCheckpointManager(str(tmp_path / 'ck'), max_to_keep=2)
+    mgr._manager = None    # force the fallback path
+    state = {'w': jnp.ones((2,))}
+    for step in (1, 2, 3, 4):
+        mgr.save(step, state, extra={'epoch': step})
+
+    names = sorted(os.listdir(str(tmp_path / 'ck')))
+    steps = {int(n.split('.')[0][5:]) for n in names
+             if n.split('.')[0].startswith('step_')}
+    assert steps == {3, 4}, names
+    assert mgr.latest_step() == 4
+    restored, extra = mgr.restore(target=state)
+    assert extra['epoch'] == 4

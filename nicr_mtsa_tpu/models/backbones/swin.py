@@ -193,6 +193,9 @@ class SwinBlock(nn.Module):
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
     v2: bool = False
+    # images per attention chunk (0 = whole batch at once); see
+    # attention_part for the memory rationale
+    attn_chunk_size: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -216,11 +219,27 @@ class SwinBlock(nn.Module):
             if shift_h or shift_w:
                 y = jnp.roll(y, (-shift_h, -shift_w), axis=(1, 2))
                 mask = _shift_attn_mask(Hp, Wp, ws, shift_h, shift_w)
-            windows = window_partition(y, ws)
-            windows = WindowAttention(
+            attn = WindowAttention(
                 dim=C, n_heads=self.n_heads, window_size=ws,
-                v2=self.v2, dtype=self.dtype, name='attn')(windows, mask)
-            y = window_unpartition(windows, ws, Hp, Wp)
+                v2=self.v2, dtype=self.dtype, name='attn')
+
+            def run(y_sub):
+                windows = window_partition(y_sub, ws)
+                windows = attn(windows, mask)
+                return window_unpartition(windows, ws, Hp, Wp)
+
+            # image-batch chunking caps the live (Bw, h, N, N) logits /
+            # (Bw, N, 3C) qkv footprint at chunk-size images: at
+            # 480x640 stage 1 a full-batch B128 serve OOMs on ~2 GB of
+            # f32 attention logits alone. Sequential chunks in the HLO
+            # keep each chunk's intermediates dead before the next one
+            # materializes; params are shared (same module instance)
+            cs = self.attn_chunk_size
+            if cs and B > cs and B % cs == 0:
+                y = jnp.concatenate(
+                    [run(y[i:i + cs]) for i in range(0, B, cs)], axis=0)
+            else:
+                y = run(y)
             if shift_h or shift_w:
                 y = jnp.roll(y, (shift_h, shift_w), axis=(1, 2))
             if pad_h or pad_w:
@@ -324,6 +343,15 @@ class SwinBackbone(Backbone):
     n_input_channels: int = 3
     multimodal: bool = False                 # separate rgb/depth embeds
     embed_dim_depth: int = 32
+    # gradient checkpointing: recompute each block's activations in the
+    # backward pass instead of storing them (trades ~1/3 more FLOPs for
+    # O(depth) -> O(1) attention-activation memory per stage). The
+    # lifted transform leaves the parameter tree unchanged, so
+    # checkpoints interchange with the non-remat model.
+    remat: bool = False
+    # images per attention chunk inside each block (0 = off); bounds
+    # the live window-attention intermediates for large serving batches
+    attn_chunk_size: int = 0
     dtype: Any = jnp.float32
 
     @property
@@ -349,19 +377,26 @@ class SwinBackbone(Backbone):
         total_blocks = sum(self.depths)
         dp_rates = np.linspace(0, self.stochastic_depth, total_blocks)
 
+        # static_argnums counts the bound module as arg 0, so `train`
+        # (arg 2 of __call__) stays a trace-time constant under remat
+        block_cls = nn.remat(SwinBlock, static_argnums=(2,)) \
+            if self.remat else SwinBlock
+
         layers = []
         block_idx = 0
         for i, (depth, heads) in enumerate(zip(self.depths, self.n_heads)):
             blocks = []
             for b in range(depth):
-                blocks.append(SwinBlock(
+                blocks.append(block_cls(
                     dim=self.embed_dim * 2 ** i,
                     n_heads=heads,
                     window_size=self.window_size,
                     shift=0 if b % 2 == 0 else self.window_size // 2,
                     mlp_ratio=self.mlp_ratio,
                     drop_path=float(dp_rates[block_idx]),
-                    v2=self.v2, dtype=self.dtype,
+                    v2=self.v2,
+                    attn_chunk_size=self.attn_chunk_size,
+                    dtype=self.dtype,
                     name=f'layer{i + 1}_block{b}',
                 ))
                 block_idx += 1

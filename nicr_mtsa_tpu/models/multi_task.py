@@ -65,6 +65,12 @@ class MultiTaskModelConfig:
     # parameter tree is unchanged, so checkpoints interchange with the
     # non-deferred model
     defer_semantic_prediction_upsampling: bool = False
+    # gradient checkpointing for transformer backbones (Swin blocks
+    # recompute in the backward pass; parameter tree unchanged)
+    backbone_remat: bool = False
+    # images per window-attention chunk in Swin blocks (0 = whole
+    # batch); bounds live attention intermediates for big serve batches
+    backbone_attn_chunk_size: int = 0
     # compute
     dtype: Any = jnp.float32
 
@@ -109,22 +115,37 @@ def build_model(config: MultiTaskModelConfig) -> MultiTaskModel:
     c = config
 
     backbone_rgb = backbone_depth = backbone_rgbd = None
+    # remat applies to transformer backbones only (resnet activations
+    # are cheap relative to their recompute cost)
+    def _bb_kwargs(name):
+        if not name.startswith('swin'):
+            return {}
+        kw = {}
+        if c.backbone_remat:
+            kw['remat'] = True
+        if c.backbone_attn_chunk_size:
+            kw['attn_chunk_size'] = c.backbone_attn_chunk_size
+        return kw
+
     if c.backbone_rgbd is not None:
         backbone_rgbd = get_backbone(
             c.backbone_rgbd, resnet_block=c.resnet_block,
             n_input_channels=4, normalization=c.normalization,
-            activation=c.activation, dtype=c.dtype)
+            activation=c.activation, dtype=c.dtype,
+            **_bb_kwargs(c.backbone_rgbd))
     else:
         if c.backbone_rgb is not None:
             backbone_rgb = get_backbone(
                 c.backbone_rgb, resnet_block=c.resnet_block,
                 n_input_channels=3, normalization=c.normalization,
-                activation=c.activation, dtype=c.dtype)
+                activation=c.activation, dtype=c.dtype,
+                **_bb_kwargs(c.backbone_rgb))
         if c.backbone_depth is not None:
             backbone_depth = get_backbone(
                 c.backbone_depth, resnet_block=c.resnet_block,
                 n_input_channels=1, normalization=c.normalization,
-                activation=c.activation, dtype=c.dtype)
+                activation=c.activation, dtype=c.dtype,
+                **_bb_kwargs(c.backbone_depth))
 
     encoder = get_encoder(
         backbone_rgb=backbone_rgb, backbone_depth=backbone_depth,

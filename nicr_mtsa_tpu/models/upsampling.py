@@ -15,6 +15,7 @@ from typing import Any, NamedTuple, Optional, Tuple, Union
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+import numpy as np
 
 
 class DeferredUpsampling(NamedTuple):
@@ -68,18 +69,20 @@ KNOWN_UPSAMPLING_METHODS = (
     'nearest', 'bilinear', 'learned-3x3', 'learned-3x3-zeropad',
 )
 
-_BILINEAR_KERNEL = jnp.array([
+# numpy, not jnp: module-level jnp constants initialize the XLA
+# backend at import time (breaks jax.distributed.initialize ordering)
+_BILINEAR_KERNEL = np.array([
     [0.0625, 0.1250, 0.0625],
     [0.1250, 0.2500, 0.1250],
     [0.0625, 0.1250, 0.0625],
-])
+], dtype=np.float32)
 
 
 def _bilinear_kernel_init(key, shape, dtype=jnp.float32):
     # depthwise kernel shape: (3, 3, 1, C)
     del key
     return jnp.broadcast_to(
-        _BILINEAR_KERNEL[:, :, None, None], shape
+        jnp.asarray(_BILINEAR_KERNEL)[:, :, None, None], shape
     ).astype(dtype)
 
 

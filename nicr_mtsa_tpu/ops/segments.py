@@ -15,10 +15,14 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 SEGMENT_TABLE_PAD = 2 ** 31 - 1    # keeps tables sorted ascending
-_PAD = jnp.int32(SEGMENT_TABLE_PAD)
+# numpy scalar, NOT jnp: a module-level jnp constant would initialize
+# the XLA backend at import time, breaking jax.distributed.initialize
+# (which must run before any backend use in multi-host entrypoints)
+_PAD = np.int32(SEGMENT_TABLE_PAD)
 
 
 @partial(jax.jit, static_argnames=('size',))

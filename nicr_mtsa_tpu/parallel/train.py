@@ -13,10 +13,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .mesh import batch_sharding, replicated
 
 
-def make_sharded_train_step(pipeline, mesh: Mesh, axis_name: str = 'data'):
+def make_sharded_train_step(pipeline, mesh: Mesh, axis_name: str = 'data',
+                            donate_state: bool = True):
     """Wrap a MultiTaskPipeline's train-step computation with explicit
     input/output shardings over `mesh`. Returns
-    `step(state, batch, loss_weights, rng) -> (state, losses)`."""
+    `step(state, batch, loss_weights, rng) -> (state, losses)`.
+
+    `donate_state` (default on: the canonical `state = step(state, ...)`
+    loop never reads the old state) lets XLA reuse the param/optimizer
+    buffers in place instead of double-buffering them each step."""
     repl = replicated(mesh)
     data = batch_sharding(mesh, axis_name)
 
@@ -27,6 +32,7 @@ def make_sharded_train_step(pipeline, mesh: Mesh, axis_name: str = 'data'):
         _step,
         in_shardings=(repl, data, repl, repl),
         out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate_state else (),
     )
 
 
@@ -55,7 +61,8 @@ def make_sharded_eval_forward(pipeline, mesh: Mesh, axis_name: str = 'data',
 
 def make_sharded_eval_step(pipeline, mesh: Mesh,
                            static_batch: Optional[Dict] = None,
-                           axis_name: str = 'data'):
+                           axis_name: str = 'data',
+                           output_keys=None):
     """ONE jitted evaluation program over the mesh: forward +
     postprocessing + losses via GSPMD (jit with shardings keeps global
     semantics, so losses match the single-device fused step exactly),
@@ -115,6 +122,11 @@ def make_sharded_eval_step(pipeline, mesh: Mesh,
             prev = metric_states.get(name)
             new_states[name] = contribs[name] if prev is None \
                 else add_states(prev, contribs[name])
+        if output_keys is not None:
+            # metric-only epochs pass (): unreturned fullres buffers
+            # are DCE'd/fused into the metric updates by XLA
+            predictions_post = {k: predictions_post[k]
+                                for k in output_keys}
         return predictions_post, losses, new_states
 
     return jax.jit(step, in_shardings=(repl, repl, data, repl),

@@ -104,14 +104,22 @@ class MultiTaskPipeline:
         task_helpers: Dict[str, Any],
         loss_weighting=None,
         optimizer: Optional[optax.GradientTransformation] = None,
+        donate_train_state: bool = False,
     ) -> None:
         self.model = model
         self.postprocessors = postprocessors
         self.task_helpers = task_helpers
         self.loss_weighting = loss_weighting
         self.optimizer = optimizer or optax.adam(1e-4)
+        self.donate_train_state = donate_train_state
 
-        self._jit_train_step = jax.jit(self._train_step_impl)
+        # donating `state` lets XLA update params/optimizer buffers in
+        # place instead of double-buffering them every step (2x the
+        # param+opt memory otherwise). Opt-in because the caller's old
+        # state becomes invalid after the step.
+        self._jit_train_step = jax.jit(
+            self._train_step_impl,
+            donate_argnums=(0,) if donate_train_state else ())
 
     # --- init ---------------------------------------------------------------
     def init_variables(self, rng, example_inputs):
@@ -286,7 +294,8 @@ class MultiTaskPipeline:
         return artifacts, examples, logs
 
     # --- fused evaluation ---------------------------------------------------
-    def make_fused_eval_step(self, static_batch: Dict[str, Any]):
+    def make_fused_eval_step(self, static_batch: Dict[str, Any],
+                             output_keys: Optional[Sequence[str]] = None):
         """Build ONE jitted program: forward + postprocessing + metric
         STATE updates, with metric states threaded functionally -- the
         eval path never round-trips to host (BASELINE.json north star;
@@ -298,7 +307,17 @@ class MultiTaskPipeline:
         slices). The returned step consumes metric states keyed by
         task-helper name and the helpers' `update_metrics`-compatible
         inputs; host code merely carries the state pytree between
-        calls and runs `compute()` once per epoch."""
+        calls and runs `compute()` once per epoch.
+
+        `output_keys` selects which prediction keys the step RETURNS.
+        Every returned key is a live jit output, so the default (all
+        keys) forces the whole fullres per-task buffer inventory into
+        HBM even when only the metric reductions consume it. A
+        metric-only epoch should pass `output_keys=()`: XLA then dead-
+        code-eliminates / fuses the unconsumed fullres maps into the
+        metric updates (the reference keeps predictions alive per batch
+        unconditionally, SURVEY.md §3.2; visualization examples there
+        only read batch 0 -- request keys for that batch alone)."""
         helpers = self.task_helpers
 
         def step(params, batch_stats, batch, metric_states):
@@ -318,6 +337,9 @@ class MultiTaskPipeline:
                     new_states[name] = helper.update_metric_states(
                         metric_states.get(name), full_batch,
                         predictions_post)
+            if output_keys is not None:
+                predictions_post = {k: predictions_post[k]
+                                    for k in output_keys}
             return predictions_post, losses, new_states
 
         return jax.jit(step)

@@ -7,6 +7,7 @@ import pytest
 
 from nicr_mtsa_tpu.models import get_backbone, get_encoder
 from nicr_mtsa_tpu.models.backbones.swin import (
+    SwinBackbone,
     _relative_position_index,
     _shift_attn_mask,
     window_partition,
@@ -277,3 +278,58 @@ def test_swin_v2_attention_vs_bruteforce_numpy():
         expected[b] = o @ Wproj + bproj
 
     np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_remat_matches_standard():
+    """remat=True must keep the parameter tree AND forward/grad values
+    identical (checkpoints interchange; only the backward-pass memory
+    schedule changes)."""
+    bb = SwinBackbone(embed_dim=16, depths=(1, 1, 1, 1),
+                      n_heads=(2, 4, 8, 16), window_size=7,
+                      stochastic_depth=0.0)
+    bb_r = SwinBackbone(embed_dim=16, depths=(1, 1, 1, 1),
+                        n_heads=(2, 4, 8, 16), window_size=7,
+                        stochastic_depth=0.0, remat=True)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 28, 28, 3)),
+                    jnp.float32)
+    v = bb.init(jax.random.PRNGKey(0), x, train=False)
+    v_r = bb_r.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(v) == \
+        jax.tree_util.tree_structure(v_r)
+
+    def loss(variables, model):
+        outs = model.apply(variables, x, train=True,
+                           rngs={'dropout': jax.random.PRNGKey(1)})
+        return sum(jnp.sum(o * o) for o in outs)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(p, bb))(v)
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, bb_r))(v)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    # recomputation reassociates float32 reductions: tiny noise only
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_attn_chunking_matches_full_batch():
+    """Image-batch chunked window attention must be numerically
+    identical to the full-batch computation (same params, per-image
+    independence)."""
+    bb = SwinBackbone(embed_dim=16, depths=(1, 1, 1, 1),
+                      n_heads=(2, 4, 8, 16), window_size=7,
+                      stochastic_depth=0.0)
+    bb_c = SwinBackbone(embed_dim=16, depths=(1, 1, 1, 1),
+                        n_heads=(2, 4, 8, 16), window_size=7,
+                        stochastic_depth=0.0, attn_chunk_size=2)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(4, 56, 28, 3)),
+                    jnp.float32)
+    v = bb.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        bb_c.init(jax.random.PRNGKey(0), x, train=False))
+    ref = bb.apply(v, x, train=False)
+    out = bb_c.apply(v, x, train=False)
+    for i, (a, b) in enumerate(zip(ref, out)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6,
+                                   err_msg=f'stage {i}')

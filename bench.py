@@ -248,6 +248,10 @@ def main():
                         help="'emsanet-bench' (the default flagship "
                              "wiring) or a configs.BENCH_CONFIGS "
                              "preset name (e.g. 'emsaformer_dve')")
+    parser.add_argument('--attn-chunk', type=int, default=0,
+                        help='images per Swin window-attention chunk '
+                             '(0 = whole batch); bounds attention '
+                             'memory for big serve batches')
     args = parser.parse_args()
 
     import jax
@@ -303,6 +307,10 @@ def main():
                 and config.prediction_upsampling == 'learned-3x3-zeropad'):
             config = dataclasses.replace(
                 config, defer_semantic_prediction_upsampling=True)
+        if args.attn_chunk and config.backbone_rgbd \
+                and config.backbone_rgbd.startswith('swin'):
+            config = dataclasses.replace(
+                config, backbone_attn_chunk_size=args.attn_chunk)
     model = build_model(config)
 
     post = PanopticPostprocessing(

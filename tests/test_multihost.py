@@ -18,11 +18,13 @@ import sys
 
 import numpy as np
 
-os.environ['JAX_PLATFORMS'] = 'cpu'
 os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=1'
 sys.path.insert(0, REPO_PATH)
 
 import jax
+# the ambient env pins JAX_PLATFORMS=axon harder than env vars can
+# override in plain subprocesses (CLAUDE.md): force via jax.config
+jax.config.update('jax_platforms', 'cpu')
 import jax.numpy as jnp
 
 from nicr_mtsa_tpu.parallel.multihost import (

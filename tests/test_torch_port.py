@@ -397,3 +397,78 @@ def test_swin_forward_parity(hw):
         np.testing.assert_allclose(np.asarray(j), t.numpy(),
                                    atol=1e-4, rtol=1e-4,
                                    err_msg=f'stage {i}')
+
+
+def test_pretrained_bootstrap_from_local_checkpoint(tmp_path):
+    """One-call pretrained flow: torch .pth on disk -> ported backbone
+    variables (with depth-stem surgery) -> grafted into a full model's
+    tree; forward stays numerically tied to the torch source."""
+    from nicr_mtsa_tpu.models.multi_task import (
+        MultiTaskModelConfig, build_model,
+    )
+    from nicr_mtsa_tpu.utils.pretrained import (
+        load_pretrained_backbone, merge_backbone_variables,
+    )
+
+    torch.manual_seed(3)
+    tmodel = TorchResNet18().eval()
+    path = tmp_path / 'resnet18.pth'
+    torch.save(tmodel.state_dict(), str(path))
+
+    # rgb backbone: exact forward parity through the bootstrap
+    variables = load_pretrained_backbone(
+        'resnet18', n_input_channels=3, checkpoint_path=str(path))
+    bb = ResNetBackbone(layers=(2, 2, 2, 2), block='basicblock')
+    x = np.random.default_rng(0).normal(size=(1, 64, 96, 3)) \
+        .astype(np.float32)
+    with torch.no_grad():
+        t_outs = tmodel(torch.tensor(x.transpose(0, 3, 1, 2)))
+    j_outs = bb.apply(variables, jnp.asarray(x), train=False)
+    for j, t in zip(j_outs, t_outs):
+        np.testing.assert_allclose(
+            np.asarray(j), t.numpy().transpose(0, 2, 3, 1),
+            rtol=1e-4, atol=1e-5)
+
+    # depth backbone (1-channel stem surgery) grafted into a model
+    config = MultiTaskModelConfig(
+        tasks=('semantic',),
+        backbone_rgb='resnet18', backbone_depth='resnet18',
+        resnet_block='basicblock', context_n_channels=32,
+        decoder_n_channels=(16, 16, 16), decoder_n_blocks=1,
+        upsampling='bilinear', prediction_upsampling='bilinear',
+        input_size=(64, 96), semantic_n_classes=4,
+    )
+    model = build_model(config)
+    mv = model.init(
+        {'params': jax.random.PRNGKey(0),
+         'dropout': jax.random.PRNGKey(1)},
+        {'rgb': jnp.zeros((1, 64, 96, 3)),
+         'depth': jnp.zeros((1, 64, 96, 1))}, train=False)
+
+    rgb_vars = load_pretrained_backbone(
+        'resnet18', n_input_channels=3, checkpoint_path=str(path))
+    depth_vars = load_pretrained_backbone(
+        'resnet18', n_input_channels=1, checkpoint_path=str(path))
+    mv = merge_backbone_variables(dict(mv), rgb_vars,
+                                  path=('encoder', 'backbone_rgb'))
+    mv = merge_backbone_variables(mv, depth_vars,
+                                  path=('encoder', 'backbone_depth'))
+
+    # grafted stem == ported checkpoint, surgery applied for depth
+    graft = np.asarray(
+        mv['params']['encoder']['backbone_rgb']['conv1']['kernel'])
+    np.testing.assert_array_equal(
+        graft, np.asarray(rgb_vars['params']['conv1']['kernel']))
+    dstem = np.asarray(
+        mv['params']['encoder']['backbone_depth']['conv1']['kernel'])
+    assert dstem.shape[2] == 1
+    expect = adapt_first_conv(
+        tmodel.state_dict()['conv1.weight'].numpy(), 1)
+    np.testing.assert_allclose(dstem, expect.transpose(2, 3, 1, 0),
+                               rtol=1e-6)
+
+    # the grafted model still runs
+    outs = model.apply(mv, {'rgb': jnp.zeros((1, 64, 96, 3)),
+                            'depth': jnp.zeros((1, 64, 96, 1))},
+                       train=False)
+    assert np.isfinite(np.asarray(outs['semantic'][0])).all()

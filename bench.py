@@ -351,7 +351,7 @@ def main():
         t0 = time.perf_counter()
         for _ in range(iters):
             out = pipe(variables, rgb, depth)
-        int(np.asarray(out['panoptic_segmentation_deeplab'][0, 0, 0]))
+        int(np.asarray(out['panoptic'][0, 0, 0]))
         dt = time.perf_counter() - t0
         return batch_size * iters / dt
 

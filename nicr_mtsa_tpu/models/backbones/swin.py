@@ -125,9 +125,14 @@ class WindowAttention(nn.Module):
 
         qkv = nn.Dense(3 * C, use_bias=True, dtype=self.dtype,
                        kernel_init=_trunc_normal(), name='qkv')(x)
-        q, k, v = jnp.split(qkv.reshape(Bw, N, 3, h, d)
-                            .transpose(2, 0, 3, 1, 4), 3, axis=0)
-        q, k, v = q[0], k[0], v[0]                # (Bw, h, N, d)
+        # slice + reshape in the GEMM's own (Bw, N, 3C) layout; the 3C
+        # axis decomposes as (3, h, d), so qkv[..., :C] IS the q of the
+        # reference's reshape(3, h, d) split. The head transpose stays
+        # implicit in the einsums (XLA folds it into the matmuls
+        # instead of materializing a (3, Bw, h, N, d) relayout)
+        q = qkv[..., :C].reshape(Bw, N, h, d)
+        k = qkv[..., C:2 * C].reshape(Bw, N, h, d)
+        v = qkv[..., 2 * C:].reshape(Bw, N, h, d)
 
         if self.v2:
             # cosine attention with learned per-head logit scale
@@ -140,10 +145,10 @@ class WindowAttention(nn.Module):
                 (h, 1, 1))
             scale = jnp.exp(jnp.minimum(logit_scale,
                                         jnp.log(1.0 / 0.01)))
-            attn = jnp.einsum('bhnd,bhmd->bhnm', q, k,
+            attn = jnp.einsum('bnhd,bmhd->bhnm', q, k,
                               preferred_element_type=jnp.float32) * scale
         else:
-            attn = jnp.einsum('bhnd,bhmd->bhnm', q, k,
+            attn = jnp.einsum('bnhd,bmhd->bhnm', q, k,
                               preferred_element_type=jnp.float32) \
                 * (d ** -0.5)
 
@@ -177,10 +182,9 @@ class WindowAttention(nn.Module):
             attn = attn.reshape(Bw, h, N, N)
 
         attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum('bhnm,bhmd->bhnd', attn, v,
+        out = jnp.einsum('bhnm,bmhd->bnhd', attn, v,
                          preferred_element_type=jnp.float32)
-        out = out.transpose(0, 2, 1, 3).reshape(Bw, N, C)
-        out = out.astype(self.dtype)
+        out = out.reshape(Bw, N, C).astype(self.dtype)
         return nn.Dense(C, dtype=self.dtype,
                         kernel_init=_trunc_normal(), name='proj')(out)
 

@@ -46,6 +46,11 @@ def main():
     parser.add_argument('--steps', type=int, default=3)
     parser.add_argument('--logdir', default='/tmp/mtsa_prof')
     parser.add_argument('--top', type=int, default=40)
+    parser.add_argument('--model', default='emsanet-bench',
+                        help="'emsanet-bench' or a configs.BENCH_CONFIGS "
+                             "preset name (mirrors bench.py)")
+    parser.add_argument('--attn-chunk', type=int, default=0,
+                        help='images per Swin window-attention chunk')
     args = parser.parse_args()
 
     import numpy as np
@@ -63,19 +68,32 @@ def main():
     H, W = 480, 640
     n_classes = 40
     is_thing = tuple(i < 8 for i in range(n_classes))
-    config = MultiTaskModelConfig(
-        tasks=('semantic', 'instance', 'orientation', 'scene'),
-        backbone_rgb='resnet34', backbone_depth='resnet34',
-        resnet_block='nonbottleneck1d',
-        context_n_channels=512,
-        decoder_n_channels=(512, 256, 128), decoder_n_blocks=3,
-        input_size=(H, W), semantic_n_classes=n_classes,
-        scene_n_classes=10,
-        upsampling='learned-3x3-zeropad',
-        prediction_upsampling='learned-3x3-zeropad',
-        defer_semantic_prediction_upsampling=True,   # match bench.py
-        dtype=jnp.bfloat16,
-    )
+    if args.model == 'emsanet-bench':
+        config = MultiTaskModelConfig(
+            tasks=('semantic', 'instance', 'orientation', 'scene'),
+            backbone_rgb='resnet34', backbone_depth='resnet34',
+            resnet_block='nonbottleneck1d',
+            context_n_channels=512,
+            decoder_n_channels=(512, 256, 128), decoder_n_blocks=3,
+            input_size=(H, W), semantic_n_classes=n_classes,
+            scene_n_classes=10,
+            upsampling='learned-3x3-zeropad',
+            prediction_upsampling='learned-3x3-zeropad',
+            defer_semantic_prediction_upsampling=True,  # match bench.py
+            dtype=jnp.bfloat16,
+        )
+    else:
+        import dataclasses
+        from nicr_mtsa_tpu.configs import BENCH_CONFIGS
+        config = BENCH_CONFIGS[args.model](
+            input_size=(H, W), dtype=jnp.bfloat16)
+        if config.prediction_upsampling == 'learned-3x3-zeropad':
+            config = dataclasses.replace(
+                config, defer_semantic_prediction_upsampling=True)
+        if args.attn_chunk and config.backbone_rgbd \
+                and config.backbone_rgbd.startswith('swin'):
+            config = dataclasses.replace(
+                config, backbone_attn_chunk_size=args.attn_chunk)
     model = build_model(config)
     post = PanopticPostprocessing(
         semantic_postprocessing=SemanticPostprocessing(),

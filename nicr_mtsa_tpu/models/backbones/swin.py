@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ..common import FusedLayerNorm
 from .base import Backbone
 
 
@@ -145,12 +146,18 @@ class WindowAttention(nn.Module):
                 (h, 1, 1))
             scale = jnp.exp(jnp.minimum(logit_scale,
                                         jnp.log(1.0 / 0.01)))
-            attn = jnp.einsum('bnhd,bmhd->bhnm', q, k,
-                              preferred_element_type=jnp.float32) * scale
+            # logits stored in the compute dtype: at bf16 serving this
+            # halves the (Bw, h, N, N) HBM footprint and every softmax
+            # pass over it (the f32 logits chain profiled at ~120 ms of
+            # an EMSAFormer B64 step); the MXU still accumulates f32
+            # and f32 master mode (all parity tests) is unchanged
+            attn = (jnp.einsum('bnhd,bmhd->bhnm', q, k,
+                               preferred_element_type=jnp.float32)
+                    * scale).astype(self.dtype)
         else:
-            attn = jnp.einsum('bnhd,bmhd->bhnm', q, k,
-                              preferred_element_type=jnp.float32) \
-                * (d ** -0.5)
+            attn = (jnp.einsum('bnhd,bmhd->bhnm', q, k,
+                               preferred_element_type=jnp.float32)
+                    * (d ** -0.5)).astype(self.dtype)
 
         # relative position bias
         ws = self.window_size
@@ -181,7 +188,10 @@ class WindowAttention(nn.Module):
                 + jnp.asarray(mask)[None, :, None].astype(attn.dtype)
             attn = attn.reshape(Bw, h, N, N)
 
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        # f32-internal softmax over dtype-stored logits: the converts
+        # stay in VPU registers inside the fused pass
+        attn = jax.nn.softmax(attn.astype(jnp.float32),
+                              axis=-1).astype(self.dtype)
         out = jnp.einsum('bhnm,bmhd->bnhd', attn, v,
                          preferred_element_type=jnp.float32)
         out = out.reshape(Bw, N, C).astype(self.dtype)
@@ -200,6 +210,8 @@ class SwinBlock(nn.Module):
     # images per attention chunk (0 = whole batch at once); see
     # attention_part for the memory rationale
     attn_chunk_size: int = 0
+    # LayerNorm backend ('auto' = fused Pallas kernel on TPU inference)
+    ln_backend: str = 'auto'
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -262,17 +274,17 @@ class SwinBlock(nn.Module):
                             kernel_init=_trunc_normal(), name='mlp_fc2')(y)
 
         dp = DropPath(self.drop_path, name='drop_path')
+        ln1 = FusedLayerNorm(backend=self.ln_backend, dtype=self.dtype,
+                             name='norm1')
+        ln2 = FusedLayerNorm(backend=self.ln_backend, dtype=self.dtype,
+                             name='norm2')
         if self.v2:
             # post-norm (res-post-norm)
-            x = x + dp(nn.LayerNorm(dtype=self.dtype, name='norm1')(
-                attention_part(x)), train)
-            x = x + dp(nn.LayerNorm(dtype=self.dtype, name='norm2')(
-                mlp_part(x)), train)
+            x = x + dp(ln1(attention_part(x), train), train)
+            x = x + dp(ln2(mlp_part(x), train), train)
         else:
-            x = x + dp(attention_part(
-                nn.LayerNorm(dtype=self.dtype, name='norm1')(x)), train)
-            x = x + dp(mlp_part(
-                nn.LayerNorm(dtype=self.dtype, name='norm2')(x)), train)
+            x = x + dp(attention_part(ln1(x, train)), train)
+            x = x + dp(mlp_part(ln2(x, train)), train)
         return x
 
 
@@ -280,10 +292,11 @@ class PatchMerging(nn.Module):
     """2x2 patch merging: concat 4 neighbors -> project to 2C.
     v1: LN then projection; v2: projection then LN."""
     v2: bool = False
+    ln_backend: str = 'auto'
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         B, H, W, C = x.shape
         pad_h, pad_w = H % 2, W % 2
         if pad_h or pad_w:
@@ -291,12 +304,14 @@ class PatchMerging(nn.Module):
             H, W = H + pad_h, W + pad_w
         x = x.reshape(B, H // 2, 2, W // 2, 2, C)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+        ln = FusedLayerNorm(backend=self.ln_backend, dtype=self.dtype,
+                            name='norm')
         if self.v2:
             x = nn.Dense(2 * C, use_bias=False, dtype=self.dtype,
                          kernel_init=_trunc_normal(), name='reduction')(x)
-            x = nn.LayerNorm(dtype=self.dtype, name='norm')(x)
+            x = ln(x, train)
         else:
-            x = nn.LayerNorm(dtype=self.dtype, name='norm')(x)
+            x = ln(x, train)
             x = nn.Dense(2 * C, use_bias=False, dtype=self.dtype,
                          kernel_init=_trunc_normal(), name='reduction')(x)
         return x
@@ -306,16 +321,18 @@ class PatchEmbed(nn.Module):
     embed_dim: int = 96
     patch_size: int = 4
     n_input_channels: int = 3
+    ln_backend: str = 'auto'
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         x = nn.Conv(self.embed_dim,
                     (self.patch_size, self.patch_size),
                     strides=(self.patch_size, self.patch_size),
                     padding='VALID', dtype=self.dtype,
                     kernel_init=_trunc_normal(), name='proj')(x)
-        return nn.LayerNorm(dtype=self.dtype, name='norm')(x)
+        return FusedLayerNorm(backend=self.ln_backend, dtype=self.dtype,
+                              name='norm')(x, train)
 
 
 class MergedPatchEmbedder(nn.Module):
@@ -324,15 +341,19 @@ class MergedPatchEmbedder(nn.Module):
     embed_dim_rgb: int = 64
     embed_dim_depth: int = 32
     patch_size: int = 4
+    ln_backend: str = 'auto'
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         """x: (..., 4) rgbd."""
         rgb = PatchEmbed(self.embed_dim_rgb, self.patch_size, 3,
-                         dtype=self.dtype, name='rgb')(x[..., :3])
+                         ln_backend=self.ln_backend,
+                         dtype=self.dtype, name='rgb')(x[..., :3], train)
         depth = PatchEmbed(self.embed_dim_depth, self.patch_size, 1,
-                           dtype=self.dtype, name='depth')(x[..., 3:])
+                           ln_backend=self.ln_backend,
+                           dtype=self.dtype,
+                           name='depth')(x[..., 3:], train)
         return jnp.concatenate([rgb, depth], axis=-1)
 
 
@@ -356,6 +377,9 @@ class SwinBackbone(Backbone):
     # images per attention chunk inside each block (0 = off); bounds
     # the live window-attention intermediates for large serving batches
     attn_chunk_size: int = 0
+    # LayerNorm backend for every LN in the backbone ('auto' = fused
+    # Pallas kernel on the TPU inference path, XLA otherwise)
+    ln_backend: str = 'auto'
     dtype: Any = jnp.float32
 
     @property
@@ -372,11 +396,13 @@ class SwinBackbone(Backbone):
             assert self.n_input_channels == 4
             self.patch_embed = MergedPatchEmbedder(
                 embed_dim_rgb=self.embed_dim - self.embed_dim_depth,
-                embed_dim_depth=self.embed_dim_depth, dtype=self.dtype)
+                embed_dim_depth=self.embed_dim_depth,
+                ln_backend=self.ln_backend, dtype=self.dtype)
         else:
             self.patch_embed = PatchEmbed(
                 embed_dim=self.embed_dim,
-                n_input_channels=self.n_input_channels, dtype=self.dtype)
+                n_input_channels=self.n_input_channels,
+                ln_backend=self.ln_backend, dtype=self.dtype)
 
         total_blocks = sum(self.depths)
         dp_rates = np.linspace(0, self.stochastic_depth, total_blocks)
@@ -400,6 +426,7 @@ class SwinBackbone(Backbone):
                     drop_path=float(dp_rates[block_idx]),
                     v2=self.v2,
                     attn_chunk_size=self.attn_chunk_size,
+                    ln_backend=self.ln_backend,
                     dtype=self.dtype,
                     name=f'layer{i + 1}_block{b}',
                 ))
@@ -407,19 +434,21 @@ class SwinBackbone(Backbone):
             layers.append(tuple(blocks))
         self.layers = tuple(layers)
         self.mergers = tuple(
-            PatchMerging(v2=self.v2, dtype=self.dtype, name=f'merge{i}')
+            PatchMerging(v2=self.v2, ln_backend=self.ln_backend,
+                         dtype=self.dtype, name=f'merge{i}')
             for i in range(1, 4))
-        self.final_norm = nn.LayerNorm(dtype=self.dtype, name='norm')
+        self.final_norm = FusedLayerNorm(
+            backend=self.ln_backend, dtype=self.dtype, name='norm')
 
     def forward_stage(self, idx: int, x, train: bool = False):
         if idx == 0:
-            return self.patch_embed(x)
+            return self.patch_embed(x, train)
         if idx >= 2:
-            x = self.mergers[idx - 2](x)
+            x = self.mergers[idx - 2](x, train)
         for block in self.layers[idx - 1]:
             x = block(x, train)
         if idx == 4:
-            x = self.final_norm(x)
+            x = self.final_norm(x, train)
         return x
 
     def __call__(self, x, train: bool = False):

@@ -40,6 +40,44 @@ def get_activation(name: Optional[str] = None) -> Callable:
     return jax.nn.relu if name == 'relu' else jax.nn.silu
 
 
+class FusedLayerNorm(nn.Module):
+    """Drop-in nn.LayerNorm with a single-pass Pallas kernel on the
+    inference path (ops/pallas/layernorm.py). The parameter tree
+    ('scale'/'bias', f32, ones/zeros init) is identical to
+    nn.LayerNorm, so checkpoints interchange.
+
+    backend: 'auto' (Pallas on TPU inference, XLA otherwise), 'xla',
+    'pallas', or 'pallas-interpret' (CPU tests). Training always takes
+    the XLA path -- the kernel defines no VJP."""
+    epsilon: float = 1e-6
+    backend: str = 'auto'
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        C = x.shape[-1]
+        scale = self.param('scale', nn.initializers.ones, (C,),
+                           jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (C,),
+                          jnp.float32)
+        backend = self.backend
+        if backend == 'auto':
+            backend = ('pallas' if not train
+                       and jax.default_backend() == 'tpu' else 'xla')
+        if not train and backend in ('pallas', 'pallas-interpret'):
+            from ..ops.pallas.layernorm import fused_layer_norm
+            return fused_layer_norm(
+                x, scale, bias, eps=self.epsilon,
+                interpret=backend == 'pallas-interpret')
+        # XLA path: identical math to the kernel (f32 stats + affine,
+        # fast variance, single cast at the end)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(x32 * x32, axis=-1, keepdims=True) - mean * mean
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(self.dtype)
+
+
 class Norm(nn.Module):
     """Normalization over the channel (last) axis; `train` switches
     BatchNorm between batch statistics and running averages."""

@@ -1,6 +1,7 @@
 """Unit tests for the jittable postprocessing kernels against numpy /
 reference-semantics golden implementations."""
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -13,6 +14,7 @@ from nicr_mtsa_tpu.ops.grouping import (
 from nicr_mtsa_tpu.ops.merge import deeplab_merge
 from nicr_mtsa_tpu.ops.merge_np import deeplab_merge_semantic_and_instance_np
 from nicr_mtsa_tpu.ops.nms import get_instance_centers, nms_keep_mask
+from nicr_mtsa_tpu.ops.pallas.layernorm import fused_layer_norm
 from nicr_mtsa_tpu.ops.segments import (
     SEGMENT_TABLE_PAD,
     ids_to_slots,
@@ -372,3 +374,43 @@ def test_chunked_top_k_matches_single_call():
     s_c2, i_c2 = chunked_top_k(flat[:, :4093], 64)
     s_12, i_12 = _jax.lax.top_k(flat[:, :4093], 64)
     np.testing.assert_array_equal(np.asarray(i_c2), np.asarray(i_12))
+
+
+class TestFusedLayerNorm:
+    """ops/pallas/layernorm.py vs the identically-specified XLA math
+    (models/common.py FusedLayerNorm 'xla' backend)."""
+
+    def _xla_ln(self, x, scale, bias, eps=1e-6):
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(x32 * x32, axis=-1, keepdims=True) - mean * mean
+        y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+        return (y * scale + bias).astype(x.dtype)
+
+    @pytest.mark.parametrize('dtype', [np.float32, jnp.bfloat16])
+    def test_matches_xla_math(self, dtype):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(2, 9, 11, 96)) * 3 + 1, dtype)
+        scale = jnp.asarray(rng.normal(size=(96,)), jnp.float32)
+        bias = jnp.asarray(rng.normal(size=(96,)), jnp.float32)
+        got = fused_layer_norm(x, scale, bias, block_rows=64,
+                               interpret=True)
+        want = self._xla_ln(x, scale, bias)
+        assert got.dtype == x.dtype
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=0, atol=(1e-6 if dtype == np.float32 else 1e-2))
+
+    def test_module_param_tree_matches_nn_layernorm(self):
+        import flax.linen as nn
+        from nicr_mtsa_tpu.models.common import FusedLayerNorm
+        x = jnp.ones((2, 5, 8), jnp.float32)
+        v_f = FusedLayerNorm(backend='xla').init(
+            jax.random.PRNGKey(0), x)
+        v_n = nn.LayerNorm().init(jax.random.PRNGKey(0), x)
+        assert jax.tree_util.tree_structure(v_f) \
+            == jax.tree_util.tree_structure(v_n)
+        y_f = FusedLayerNorm(backend='xla').apply(v_f, x)
+        y_n = nn.LayerNorm().apply(v_n, x)
+        np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_n),
+                                   atol=1e-6)

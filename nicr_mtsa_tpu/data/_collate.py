@@ -16,26 +16,21 @@ batch currency (they become jax arrays at device transfer).
 `RandomSamplerSubset` mirrors data/_dataloader.py:52-116 with numpy
 RNG instead of torch generators.
 """
-from typing import Any, Iterator, List, Sequence, Sized, Tuple, Type, Union
-
 import random
+from typing import Any, Iterator, List, Sequence, Sized, Tuple, Type, Union
 
 import numpy as np
 
-from ._types import AppliedPreprocessingMeta
-from ._types import CollateIgnoredDict
+from ._types import AppliedPreprocessingMeta, CollateIgnoredDict
 
 
 _DEFAULT_BLACKLIST = (CollateIgnoredDict, AppliedPreprocessingMeta)
 
 
-def collate(
-    data: List[Any],
-    type_blacklist: Tuple[Type, ...] = (),
-    default_type_blacklist: Tuple[Type, ...] = _DEFAULT_BLACKLIST,
-) -> Any:
+def collate(data: List[Any], type_blacklist: Tuple[Type, ...] = (),
+            default_type_blacklist: Tuple[Type, ...] = _DEFAULT_BLACKLIST,
+            ) -> Any:
     elem = data[0]
-
     if isinstance(elem, type_blacklist + default_type_blacklist):
         return data
 
@@ -50,10 +45,8 @@ def collate(
             # ragged key sets (e.g. per-sample {instance_id: ...} maps
             # from datasets that do not mark them collate-ignored)
             return data
-        return {
-            key: collate([s[key] for s in data], type_blacklist)
-            for key in elem
-        }
+        return {k: collate([s[k] for s in data], type_blacklist)
+                for k in elem}
 
     if isinstance(elem, (int, float, bool, np.generic)):
         return np.asarray(data)
@@ -72,20 +65,16 @@ class RandomSamplerSubset:
     the permutation with 0 so every epoch visits the same subset (in
     shuffled order)."""
 
-    def __init__(
-        self,
-        data_source: Sized,
-        subset: Union[float, Sequence[float]] = 1.0,
-        deterministic: bool = False,
-    ) -> None:
+    def __init__(self, data_source: Sized,
+                 subset: Union[float, Sequence[float]] = 1.0,
+                 deterministic: bool = False) -> None:
+        if isinstance(subset, (list, tuple)):
+            assert hasattr(data_source, 'datasets'), \
+                "per-subset fractions require a concatenated dataset"
+            assert len(subset) == len(data_source.datasets)
         self._data_source = data_source
         self.subset = subset
         self.deterministic = deterministic
-
-        if isinstance(self.subset, (list, tuple)):
-            assert hasattr(self._data_source, 'datasets'), \
-                "per-subset fractions require a concatenated dataset"
-            assert len(self.subset) == len(self._data_source.datasets)
 
     def _spans(self) -> List[Tuple[int, int, float]]:
         """(start, length, fraction) per underlying dataset; a plain
@@ -108,7 +97,7 @@ class RandomSamplerSubset:
             indices.extend(chosen.tolist())
 
         random.shuffle(indices)
-        yield from indices
+        return iter(indices)
 
     def __len__(self) -> int:
         return sum(int(length * frac)

@@ -102,6 +102,14 @@ class InstanceClearStuffIDs(PreprocessingBase):
         return sample, dynamic
 
 
+def _gaussian_patch(sigma: int) -> np.ndarray:
+    """(6*sigma+3)^2 Gaussian splat patch, peak 1.0 at the center pixel
+    (3*sigma+1, 3*sigma+1) -- the Panoptic-DeepLab center encoding."""
+    c = 3 * sigma + 1
+    dy, dx = np.ogrid[-c:c + 1, -c:c + 1]
+    return np.exp((dy * dy + dx * dx) / (-2.0 * sigma * sigma))
+
+
 class InstanceTargetGenerator(PreprocessingBase):
     def __init__(
         self,
@@ -112,42 +120,28 @@ class InstanceTargetGenerator(PreprocessingBase):
         normalized_offset: bool = True,
         multiscale_processing: bool = False,
     ) -> None:
-        self._sigma_for_downscales = {None: sigma}
-        if sigma_for_additional_downscales is not None:
-            self._sigma_for_downscales.update(sigma_for_additional_downscales)
+        # sigma keyed by downscale; None = the main (full working) scale
+        self._sigma_by_scale = dict(
+            {None: sigma}, **(sigma_for_additional_downscales or {}))
+        self._gauss_by_scale = {k: _gaussian_patch(s)
+                                for k, s in self._sigma_by_scale.items()}
 
-        self._2d_gauss_for_downscale = {
-            scale: self._precompute_2d_gauss(s)
-            for scale, s in self._sigma_for_downscales.items()
-        }
-
+        self._thing_class_ids = None
+        self._stuff_class_ids = None
         if semantic_classes_is_thing is not None:
             assert not use_is_thing_from_meta
-            self._thing_class_ids = np.where(semantic_classes_is_thing)[0]
-            is_stuff = np.logical_not(semantic_classes_is_thing)
-            self._stuff_class_ids = np.where(is_stuff)[0][1:]   # remove void
-        else:
-            self._thing_class_ids = None
-            self._stuff_class_ids = None
+            is_thing = np.asarray(semantic_classes_is_thing, dtype=bool)
+            self._thing_class_ids = np.flatnonzero(is_thing)
+            self._stuff_class_ids = np.flatnonzero(~is_thing)[1:]  # -void
         self._use_is_thing_from_meta = use_is_thing_from_meta
         self._normalized_offset = normalized_offset
 
         super().__init__(
-            fixed_parameters={
-                'sigma_for_downscales': self._sigma_for_downscales,
-                'normalized_offset': self._normalized_offset,
-                'use_is_thing_from_meta': self._use_is_thing_from_meta,
-            },
             multiscale_processing=sigma_for_additional_downscales is not None,
-        )
-
-    @staticmethod
-    def _precompute_2d_gauss(sigma):
-        size = 6 * sigma + 3
-        x = np.arange(0, size, 1, float)
-        y = x[:, np.newaxis]
-        x0 = y0 = 3 * sigma + 1
-        return np.exp(-((x - x0) ** 2 + (y - y0) ** 2) / (2 * sigma ** 2))
+            fixed_parameters=dict(
+                sigma_for_downscales=self._sigma_by_scale,
+                normalized_offset=normalized_offset,
+                use_is_thing_from_meta=use_is_thing_from_meta))
 
     def _preprocess(
         self,
@@ -160,14 +154,15 @@ class InstanceTargetGenerator(PreprocessingBase):
 
         instance_image = sample['instance']
         height, width = instance_image.shape
-        gauss = self._2d_gauss_for_downscale[downscale]
-        sigma = self._sigma_for_downscales[downscale]
+        gauss = self._gauss_by_scale[downscale]
+        sigma = self._sigma_by_scale[downscale]
 
-        thing_class_ids = self._thing_class_ids
-        stuff_class_ids = self._stuff_class_ids
         if self._use_is_thing_from_meta:
             thing_class_ids, stuff_class_ids = \
                 _thing_stuff_ids_from_sample(sample, True)
+        else:
+            thing_class_ids = self._thing_class_ids
+            stuff_class_ids = self._stuff_class_ids
 
         # segment decomposition: ids sorted ascending; inverse maps each
         # pixel to its id slot
@@ -220,50 +215,51 @@ class InstanceTargetGenerator(PreprocessingBase):
         offset_img[..., 0] = np.where(foreground, off_y, 0)
         offset_img[..., 1] = np.where(foreground, off_x, 0)
 
-        # center heatmap: bounded Gaussian splat per encoded instance
+        # center heatmap: bounded Gaussian splat per encoded instance.
+        # The patch covers rows/cols center +- (3*sigma+1), clipped to
+        # the image; overlapping splats combine with max.
         center_img = np.zeros((height, width), dtype='float32')
+        reach = 3 * sigma + 1
         for seg_idx in np.nonzero(is_instance_seg)[0]:
             cy, cx = int(center_y[seg_idx]), int(center_x[seg_idx])
-            ul = (int(np.round(cx - 3 * sigma - 1)),
-                  int(np.round(cy - 3 * sigma - 1)))
-            br = (int(np.round(cx + 3 * sigma + 2)),
-                  int(np.round(cy + 3 * sigma + 2)))
-            s_gauss_x = slice(max(0, -ul[0]), min(br[0], width) - ul[0])
-            s_gauss_y = slice(max(0, -ul[1]), min(br[1], height) - ul[1])
-            s_img_x = slice(max(0, ul[0]), min(br[0], width))
-            s_img_y = slice(max(0, ul[1]), min(br[1], height))
-            center_img[s_img_y, s_img_x] = np.maximum(
-                center_img[s_img_y, s_img_x],
-                gauss[s_gauss_y, s_gauss_x],
-            )
+            y0, y1 = max(cy - reach, 0), min(cy + reach + 1, height)
+            x0, x1 = max(cx - reach, 0), min(cx + reach + 1, width)
+            if y0 >= y1 or x0 >= x1:
+                continue          # center splatted fully off-image
+            py, px = y0 - (cy - reach), x0 - (cx - reach)
+            patch = gauss[py:py + (y1 - y0), px:px + (x1 - x0)]
+            np.maximum(center_img[y0:y1, x0:x1], patch,
+                       out=center_img[y0:y1, x0:x1])
 
         if self._normalized_offset:
             offset_img = offset_img.astype('float32')
             offset_img[..., 0] /= height
             offset_img[..., 1] /= width
 
-        sample['instance_center'] = center_img
-        sample['instance_offset'] = offset_img
-        sample['instance_foreground'] = foreground
-
         # all non-foreground pixels must carry instance id 0; otherwise
         # InstanceClearStuffIDs is missing from the pipeline
-        assert (instance_image[~foreground] == 0).all()
+        assert not instance_image[~foreground].any()
         instance_fullres = get_fullres(sample, 'instance')
         if instance_fullres is not None and 'semantic' in sample:
             semantic_fullres = get_fullres(sample, 'semantic')
             if semantic_fullres is not None:
                 fullres_fg = np.isin(semantic_fullres, thing_class_ids)
-                assert (instance_fullres[~fullres_fg] == 0).all()
+                assert not instance_fullres[~fullres_fg].any()
 
-        sample['instance_center_mask'] = sample['instance_foreground'].copy()
+        # the center-mask is foreground plus stuff: a predicted center
+        # inside a stuff region must still be penalized by the MSE loss
+        center_mask = foreground.copy()
         if stuff_class_ids is not None and 'semantic' in sample:
-            stuff_foreground = np.isin(sample['semantic'], stuff_class_ids)
-            sample['instance_center_mask'][stuff_foreground] = True
+            center_mask |= np.isin(sample['semantic'], stuff_class_ids)
 
-        return sample, {
-            'encoded_instances': encoded_instances,
-            'skipped_instances_due_to_stuff': skipped_instances_due_to_stuff,
-            'thing_semantic_classes': thing_class_ids,
-            'stuff_semantic_classes': stuff_class_ids,
-        }
+        sample['instance_center'] = center_img
+        sample['instance_offset'] = offset_img
+        sample['instance_foreground'] = foreground
+        sample['instance_center_mask'] = center_mask
+
+        dynamic = dict(
+            encoded_instances=encoded_instances,
+            skipped_instances_due_to_stuff=skipped_instances_due_to_stuff,
+            thing_semantic_classes=thing_class_ids,
+            stuff_semantic_classes=stuff_class_ids)
+        return sample, dynamic

@@ -19,18 +19,15 @@ from typing import Any, Dict, Iterable, Optional, Tuple
 import numpy as np
 
 from ...types import SampleType
-from .base import get_applied_preprocessing_meta
-from .base import PreprocessingBase
-from .utils import _get_input_shape
-from .utils import _get_relevant_spatial_keys
+from .base import PreprocessingBase, get_applied_preprocessing_meta
 from .clone import FlatCloneEntries
-
+from .utils import _get_input_shape, _get_relevant_spatial_keys
 
 FULLRES_SUFFIX = '_fullres'
 
 
 def get_fullres_key(key: str) -> str:
-    return f'{key}{FULLRES_SUFFIX}'
+    return key + FULLRES_SUFFIX
 
 
 def get_fullres(sample: SampleType, key: str) -> Any:
@@ -75,17 +72,15 @@ def get_valid_region_slices_and_fullres_shape(
 
 
 class FullResCloner(FlatCloneEntries):
-    def __init__(
-        self,
-        keys_to_keep_fullres: Optional[Iterable[str]] = None,
-        ignore_missing_keys: bool = True,
-    ) -> None:
-        super().__init__(
-            keys_to_clone=keys_to_keep_fullres,
-            ignore_missing_keys=ignore_missing_keys,
-            key_prefix='',
-            key_suffix=FULLRES_SUFFIX,
-        )
+    """Backs up selected entries under `<key>_fullres` names before any
+    resize touches them (the eval path compares predictions against
+    these full-resolution ground truths)."""
+
+    def __init__(self, keys_to_keep_fullres: Optional[Iterable[str]] = None,
+                 ignore_missing_keys: bool = True) -> None:
+        super().__init__(keys_to_clone=keys_to_keep_fullres,
+                         key_suffix=FULLRES_SUFFIX, key_prefix='',
+                         ignore_missing_keys=ignore_missing_keys)
 
 
 # --- core numpy kernels -----------------------------------------------------
@@ -160,12 +155,8 @@ def _resizable_keys(sample: SampleType,
     return _get_relevant_spatial_keys(sample, keys_to_ignore=skip)
 
 
-def resize(
-    sample: SampleType,
-    height: int,
-    width: int,
-    keys_to_ignore: Optional[Iterable[str]] = None,
-) -> SampleType:
+def resize(sample: SampleType, height: int, width: int,
+           keys_to_ignore: Optional[Iterable[str]] = None) -> SampleType:
     """Resize all spatial entries; bilinear for `rgb`, nearest otherwise
     (depth, masks, segmentations, ...) -- reference resize.py:95-161."""
     for key in _resizable_keys(sample, keys_to_ignore):
@@ -181,15 +172,9 @@ _PAD_MODES = {
 }
 
 
-def pad(
-    sample: SampleType,
-    padding_top: int,
-    padding_bottom: int,
-    padding_left: int,
-    padding_right: int,
-    padding_mode: str = 'zero',
-    keys_to_ignore: Optional[Iterable[str]] = None,
-) -> SampleType:
+def pad(sample: SampleType, padding_top: int, padding_bottom: int,
+        padding_left: int, padding_right: int, padding_mode: str = 'zero',
+        keys_to_ignore: Optional[Iterable[str]] = None) -> SampleType:
     spatial = ((padding_top, padding_bottom), (padding_left, padding_right))
     np_kwargs = _PAD_MODES[padding_mode]
     for key in _resizable_keys(sample, keys_to_ignore):
@@ -201,46 +186,43 @@ def pad(
 
 
 class Resize(PreprocessingBase):
-    def __init__(
-        self,
-        height: int,
-        width: int,
-        keys_to_ignore: Optional[Iterable[str]] = None,
-        keep_aspect_ratio: bool = False,
-        padding_mode: str = 'zero',
-    ) -> None:
-        self._height = height
-        self._width = width
-        self._keys_to_ignore = keys_to_ignore
-        self._keep_aspect_ratio = keep_aspect_ratio
-        assert padding_mode in ('zero', 'reflect')
-        self._padding_mode = padding_mode
+    """Resize every spatial entry to a fixed (height, width), optionally
+    aspect-preserving with centered padding; records the valid-region
+    slices in the provenance meta so inference postprocessing can crop
+    away the padding before full-resolution upsampling."""
 
+    def __init__(self, height: int, width: int,
+                 keys_to_ignore: Optional[Iterable[str]] = None,
+                 keep_aspect_ratio: bool = False,
+                 padding_mode: str = 'zero') -> None:
+        if padding_mode not in _PAD_MODES:
+            raise ValueError(f"unknown padding_mode: '{padding_mode}'")
+        self._target_hw = (height, width)
+        self._keep_aspect_ratio = keep_aspect_ratio
+        self._padding_mode = padding_mode
+        self._keys_to_ignore = keys_to_ignore
         super().__init__(
-            fixed_parameters={
-                'keys_to_ignore': self._keys_to_ignore,
-                'keep_aspect_ratio': keep_aspect_ratio,
-                'padding_mode': padding_mode,
-            },
             multiscale_processing=False,
-        )
+            fixed_parameters=dict(keys_to_ignore=keys_to_ignore,
+                                  keep_aspect_ratio=keep_aspect_ratio,
+                                  padding_mode=padding_mode))
 
     def _fit(self, orig_h: int, orig_w: int):
         """Content size + centered (top, bottom, left, right) padding."""
+        th, tw = self._target_hw
         if not self._keep_aspect_ratio:
-            return (self._height, self._width), (0, 0, 0, 0)
-        scale = min(self._height / orig_h, self._width / orig_w)
+            return (th, tw), (0, 0, 0, 0)
+        scale = min(th / orig_h, tw / orig_w)
         fit_h, fit_w = int(round(scale * orig_h)), int(round(scale * orig_w))
-        slack_h, slack_w = self._height - fit_h, self._width - fit_w
+        slack_h, slack_w = th - fit_h, tw - fit_w
         return (fit_h, fit_w), (slack_h // 2, slack_h - slack_h // 2,
                                 slack_w // 2, slack_w - slack_w // 2)
 
     def _preprocess(
         self, sample: SampleType, **kwargs
     ) -> Tuple[SampleType, Dict[str, Any]]:
-        orig_height, orig_width = _get_input_shape(sample)
-        (fit_h, fit_w), (top, bottom, left, right) = \
-            self._fit(orig_height, orig_width)
+        orig_h, orig_w = _get_input_shape(sample)
+        (fit_h, fit_w), (top, bottom, left, right) = self._fit(orig_h, orig_w)
 
         sample = resize(sample, height=fit_h, width=fit_w,
                         keys_to_ignore=self._keys_to_ignore)
@@ -250,56 +232,42 @@ class Resize(PreprocessingBase):
                      padding_mode=self._padding_mode,
                      keys_to_ignore=self._keys_to_ignore)
 
-        return sample, {
-            'old_height': orig_height,
-            'old_width': orig_width,
-            'new_height': self._height,
-            'new_width': self._width,
-            'valid_region_slice_y': slice(top, top + fit_h),
-            'valid_region_slice_x': slice(left, left + fit_w),
-        }
+        dynamic = dict(old_height=orig_h, old_width=orig_w)
+        dynamic['new_height'], dynamic['new_width'] = self._target_hw
+        dynamic['valid_region_slice_y'] = slice(top, top + fit_h)
+        dynamic['valid_region_slice_x'] = slice(left, left + fit_w)
+        return sample, dynamic
 
 
 class RandomResize(PreprocessingBase):
-    def __init__(
-        self,
-        min_scale: float,
-        max_scale: float,
-        keys_to_ignore: Optional[Iterable[str]] = None,
-    ) -> None:
-        if min_scale < 0 or min_scale > max_scale:
+    """Augmentation: rescales the whole sample by a uniformly drawn
+    factor in [min_scale, max_scale] (no padding, so the full output is
+    the valid region)."""
+
+    def __init__(self, min_scale: float, max_scale: float,
+                 keys_to_ignore: Optional[Iterable[str]] = None) -> None:
+        if not 0 <= min_scale <= max_scale:
             raise ValueError('Unexpected value for `min_scale`')
-        self._min_scale = min_scale
-        self._max_scale = max_scale
+        self._scale_range = (min_scale, max_scale)
         self._keys_to_ignore = keys_to_ignore
         super().__init__(
-            fixed_parameters={
-                'min_scale': self._min_scale,
-                'max_scale': self._max_scale,
-                'keys_to_ignore': self._keys_to_ignore,
-            },
             multiscale_processing=False,
-        )
+            fixed_parameters=dict(min_scale=min_scale, max_scale=max_scale,
+                                  keys_to_ignore=keys_to_ignore))
 
     def _preprocess(
         self, sample: SampleType, **kwargs
     ) -> Tuple[SampleType, Dict[str, Any]]:
         h, w = _get_input_shape(sample)
 
-        if self._min_scale == self._max_scale:
-            target_scale = self._min_scale
-        else:
-            target_scale = np.random.uniform(self._min_scale, self._max_scale)
+        lo, hi = self._scale_range
+        scale = lo if lo == hi else np.random.uniform(lo, hi)
+        height, width = int(round(scale * h)), int(round(scale * w))
 
-        height = int(round(target_scale * h))
-        width = int(round(target_scale * w))
-
-        return resize(sample, height, width,
-                      keys_to_ignore=self._keys_to_ignore), {
-            'old_height': h,
-            'old_width': w,
-            'new_height': height,
-            'new_width': width,
-            'valid_region_slice_y': slice(0, height),
-            'valid_region_slice_x': slice(0, width),
-        }
+        sample = resize(sample, height, width,
+                        keys_to_ignore=self._keys_to_ignore)
+        dynamic = dict(old_height=h, old_width=w,
+                       new_height=height, new_width=width,
+                       valid_region_slice_y=slice(0, height),
+                       valid_region_slice_x=slice(0, width))
+        return sample, dynamic

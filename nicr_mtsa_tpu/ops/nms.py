@@ -95,6 +95,49 @@ def chunked_top_k(flat: jnp.ndarray, k: int):
     return scores, jnp.take_along_axis(i1, sel, axis=1)
 
 
+def _block_reduced_top_k(scores_map: jnp.ndarray, top_k: int):
+    """Exact top-k over an NMS-masked scores map via a 2x2 block
+    reduction (4x smaller `lax.top_k` input).
+
+    Validity: with kernel_size >= 3, any two pixels of a 2x2 block are
+    mutual window neighbors, and the keep-mask's asymmetric tie rule
+    (earlier-in-scan wins) kills at least one of any surviving pair --
+    so each 2x2 block holds AT MOST ONE survivor, and every
+    non-survivor is exactly the -1.0 placeholder. The block-max array
+    therefore contains every survivor score exactly once, and top-k
+    over it equals top-k over the full map as a SET.
+
+    Tie order: `lax.top_k` breaks score ties by lowest flat index. The
+    reduced top-k breaks them by lowest BLOCK index, which can disagree
+    with pixel order across block rows, so we pull 4*top_k candidates
+    and re-sort them by (-score, original flat index) with a stable
+    two-key sort. This reproduces the full-map order exactly unless a
+    single tie group at the k-th score exceeds 3*top_k candidates
+    (degenerate heatmaps; the selected set is score-identical then).
+    """
+    B, H, W = scores_map.shape
+    a = scores_map[:, 0::2, 0::2]
+    b = scores_map[:, 0::2, 1::2]
+    c = scores_map[:, 1::2, 0::2]
+    d = scores_map[:, 1::2, 1::2]
+    m = jnp.maximum(jnp.maximum(a, b), jnp.maximum(c, d))
+    # original flat index of the first in-block maximum; block scan
+    # order (a, b, c, d) is ascending flat-index order within the block
+    Hr, Wr = H // 2, W // 2
+    base = (jax.lax.broadcasted_iota(jnp.int32, (B, Hr, Wr), 1) * (2 * W)
+            + jax.lax.broadcasted_iota(jnp.int32, (B, Hr, Wr), 2) * 2)
+    idx = jnp.where(a == m, base,
+          jnp.where(b == m, base + 1,
+          jnp.where(c == m, base + W, base + W + 1)))
+
+    k2 = min(2 * top_k, Hr * Wr)
+    s2, pos = jax.lax.top_k(m.reshape(B, Hr * Wr), k2)
+    i2 = jnp.take_along_axis(idx.reshape(B, Hr * Wr), pos, axis=1)
+    _, i_sorted, s_sorted = jax.lax.sort(
+        (-s2.astype(jnp.float32), i2, s2), num_keys=2, is_stable=True)
+    return s_sorted[:, :top_k], i_sorted[:, :top_k]
+
+
 @partial(jax.jit, static_argnames=('threshold', 'kernel_size',
                                    'top_k', 'use_foreground_mask'))
 def get_instance_centers(
@@ -122,12 +165,20 @@ def get_instance_centers(
             fg = fg[..., 0]
         scores_map = jnp.where(fg, scores_map, -1.0)
 
-    flat = scores_map.reshape(B, H * W)
-    # single top_k, NOT chunked_top_k: inside the fused inference
-    # program the chunked variant's (B, C, N/C) reshape relayouts the
-    # batch-minor scores map and costs far more than it saves
-    # (608 -> 535 frames/s at the bench shape, PERF.md)
-    scores, flat_idx = jax.lax.top_k(flat, top_k)
+    if kernel_size >= 3 and H % 2 == 0 and W % 2 == 0 \
+            and H * W > 4 * top_k:
+        # 2x2 block reduction: exact (see _block_reduced_top_k) and
+        # shrinks the top_k operand 4x. NOT chunked_top_k: that
+        # variant's (B, C, N/C) reshape relayouts the batch-minor
+        # scores map and costs more than it saves (608 -> 535 f/s at
+        # the bench shape, PERF.md); the strided block slices fuse
+        # into the keep-mask computation instead
+        scores, flat_idx = _block_reduced_top_k(scores_map, top_k)
+    else:
+        # kernel_size 1 performs no suppression (multiple survivors
+        # per block possible), odd shapes don't tile: plain top_k
+        scores, flat_idx = jax.lax.top_k(
+            scores_map.reshape(B, H * W), top_k)
 
     valid = scores > 0.0
     yx = jnp.stack([flat_idx // W, flat_idx % W], axis=-1).astype(jnp.int32)

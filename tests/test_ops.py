@@ -103,6 +103,50 @@ def test_grouping_recovers_rectangles():
         assert areas[pred_id] == (y1 - y0) * (x1 - x0)
 
 
+class TestBlockReducedTopK:
+    """The 2x2-block-reduced center extraction must reproduce the
+    plain full-map `lax.top_k` exactly, including tie order."""
+
+    def _full_top_k_centers(self, hm, threshold, kernel_size, top_k):
+        import jax.numpy as _jnp
+        from nicr_mtsa_tpu.ops.nms import nms_keep_mask
+        keep = nms_keep_mask(_jnp.asarray(hm), threshold, kernel_size)
+        scores_map = _jnp.where(keep, _jnp.asarray(hm), -1.0)
+        B, H, W = hm.shape
+        return jax.lax.top_k(scores_map.reshape(B, H * W), top_k)
+
+    @pytest.mark.parametrize('seed', [0, 1, 2])
+    def test_random_maps_match_full_top_k(self, seed):
+        rng = np.random.default_rng(seed)
+        hm = rng.random((3, 64, 96)).astype(np.float32)
+        got = get_instance_centers(jnp.asarray(hm), threshold=0.1,
+                                   kernel_size=3, top_k=16)
+        s_ref, i_ref = self._full_top_k_centers(hm, 0.1, 3, 16)
+        flat_got = got.yx[..., 0] * 96 + got.yx[..., 1]
+        np.testing.assert_array_equal(np.asarray(flat_got),
+                                      np.asarray(i_ref))
+        np.testing.assert_array_equal(np.asarray(got.score),
+                                      np.asarray(s_ref))
+
+    def test_tie_order_matches_full_top_k(self):
+        # many EQUAL-score peaks spread across block rows: order must
+        # still be by lowest flat index, as lax.top_k ties
+        hm = np.zeros((1, 32, 48), np.float32)
+        peaks = [(3, 5), (3, 40), (7, 2), (10, 21), (15, 15), (15, 44),
+                 (21, 8), (25, 33), (28, 4), (29, 45)]
+        for y, x in peaks:
+            hm[0, y, x] = 0.5
+        hm[0, 18, 30] = 0.75      # one higher peak ranks first
+        got = get_instance_centers(jnp.asarray(hm), threshold=0.1,
+                                   kernel_size=3, top_k=8)
+        s_ref, i_ref = self._full_top_k_centers(hm, 0.1, 3, 8)
+        flat_got = got.yx[..., 0] * 48 + got.yx[..., 1]
+        np.testing.assert_array_equal(np.asarray(flat_got),
+                                      np.asarray(i_ref))
+        np.testing.assert_array_equal(np.asarray(got.score),
+                                      np.asarray(s_ref))
+
+
 def test_grouping_distance_threshold():
     H, W = 20, 20
     hm = np.zeros((1, H, W), np.float32)

@@ -226,6 +226,47 @@ def run_eval_bench(args, model, H, W, n_classes, is_thing):
     }))
 
 
+def run_latency_bench(args, pipe, model, H, W, rng):
+    """Per-frame serving latency at small batches: each step is
+    individually fenced with a device->host scalar fetch, so the
+    reported number is true end-to-end step latency (the deployment
+    question the reference answers with Jetson+TensorRT numbers),
+    not amortized throughput."""
+    import jax
+    import jax.numpy as jnp
+
+    iters = 3 if args.quick else max(args.iters, 30)
+    rows = {}
+    for bs in ([2] if args.quick else [1, 8]):
+        rgb = jnp.asarray(rng.integers(
+            0, 255, (bs, H, W, 3), dtype=np.uint8))
+        depth = jnp.asarray(rng.integers(
+            0, 2 ** 14, (bs, H, W), dtype=np.uint16))
+        inputs = pipe.preprocess(rgb, depth)
+        variables = jax.jit(
+            lambda k: model.init({'params': k}, inputs, train=False)
+        )(jax.random.PRNGKey(0))
+        out = pipe(variables, rgb, depth)          # compile
+        int(np.asarray(out['panoptic'][0, 0, 0]))
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            out = pipe(variables, rgb, depth)
+            int(np.asarray(out['panoptic'][0, 0, 0]))
+            times.append(time.perf_counter() - t0)
+        ms = 1000.0 * float(np.median(times))
+        rows[bs] = ms
+        print(f'# B{bs}: median {ms:.2f} ms/step '
+              f'({1000.0 * bs / ms:.1f} frames/s)', file=sys.stderr)
+    key = min(rows)
+    print(json.dumps({
+        'metric': f'panoptic_inference_latency_ms_b{key}_640x480',
+        'value': round(rows[key], 2),
+        'unit': 'ms/step',
+        'vs_baseline': 0.0,     # no latency baseline published
+    }))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--quick', action='store_true',
@@ -244,6 +285,10 @@ def main():
                         help='measure fused EVAL step throughput '
                              '(forward + postproc + merge + PQ/mIoU/MAE '
                              'metric states on device)')
+    parser.add_argument('--latency', action='store_true',
+                        help='measure per-frame serving LATENCY at '
+                             'small batches (1, 8) instead of '
+                             'throughput: median ms per step')
     parser.add_argument('--model', default='emsanet-bench',
                         help="'emsanet-bench' (the default flagship "
                              "wiring) or a configs.BENCH_CONFIGS "
@@ -330,6 +375,9 @@ def main():
         return
     if args.eval:
         run_eval_bench(args, model, H, W, n_classes, is_thing)
+        return
+    if args.latency:
+        run_latency_bench(args, pipe, model, H, W, rng)
         return
 
     def run(batch_size, iters):

@@ -115,52 +115,16 @@ class WindowAttention(nn.Module):
     n_heads: int
     window_size: int
     v2: bool = False
+    # 'auto' = fused Pallas kernel on the TPU inference path when the
+    # shapes qualify (64-token windows), XLA einsums otherwise; 'xla'
+    # forces the einsum path, 'pallas-interpret' runs the kernel in
+    # interpret mode (CPU tests)
+    backend: str = 'auto'
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, mask=None):
-        """x: (B_windows, N, C); mask: (nW, N, N) or None."""
-        Bw, N, C = x.shape
-        h = self.n_heads
-        d = C // h
-
-        qkv = nn.Dense(3 * C, use_bias=True, dtype=self.dtype,
-                       kernel_init=_trunc_normal(), name='qkv')(x)
-        # slice + reshape in the GEMM's own (Bw, N, 3C) layout; the 3C
-        # axis decomposes as (3, h, d), so qkv[..., :C] IS the q of the
-        # reference's reshape(3, h, d) split. The head transpose stays
-        # implicit in the einsums (XLA folds it into the matmuls
-        # instead of materializing a (3, Bw, h, N, d) relayout)
-        q = qkv[..., :C].reshape(Bw, N, h, d)
-        k = qkv[..., C:2 * C].reshape(Bw, N, h, d)
-        v = qkv[..., 2 * C:].reshape(Bw, N, h, d)
-
-        if self.v2:
-            # cosine attention with learned per-head logit scale
-            q = q / jnp.maximum(
-                jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-6)
-            k = k / jnp.maximum(
-                jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-6)
-            logit_scale = self.param(
-                'logit_scale', nn.initializers.constant(np.log(10.0)),
-                (h, 1, 1))
-            scale = jnp.exp(jnp.minimum(logit_scale,
-                                        jnp.log(1.0 / 0.01)))
-            # logits stored in the compute dtype: at bf16 serving this
-            # halves the (Bw, h, N, N) HBM footprint and every softmax
-            # pass over it (the f32 logits chain profiled at ~120 ms of
-            # an EMSAFormer B64 step); the MXU still accumulates f32
-            # and f32 master mode (all parity tests) is unchanged
-            attn = (jnp.einsum('bnhd,bmhd->bhnm', q, k,
-                               preferred_element_type=jnp.float32)
-                    * scale).astype(self.dtype)
-        else:
-            attn = (jnp.einsum('bnhd,bmhd->bhnm', q, k,
-                               preferred_element_type=jnp.float32)
-                    * (d ** -0.5)).astype(self.dtype)
-
-        # relative position bias
-        ws = self.window_size
+    def _position_bias(self, N):
+        """(h, N, N) f32 additive relative-position bias, query-major."""
+        h, ws = self.n_heads, self.window_size
         if self.v2:
             flat, idx = _log_cpb_coords(ws)
             cpb = nn.Sequential([
@@ -171,30 +135,122 @@ class WindowAttention(nn.Module):
             ])(jnp.asarray(flat))                       # (T, h)
             bias = cpb[jnp.asarray(idx.reshape(-1))]
             bias = bias.reshape(N, N, h).transpose(2, 0, 1)
-            bias = 16.0 * jax.nn.sigmoid(bias)
+            return 16.0 * jax.nn.sigmoid(bias)
+        table = self.param(
+            'relative_position_bias_table', _trunc_normal(),
+            ((2 * ws - 1) ** 2, h))
+        idx = _relative_position_index(ws)
+        bias = table[jnp.asarray(idx.reshape(-1))]
+        return bias.reshape(N, N, h).transpose(2, 0, 1)
+
+    def _v2_scale(self):
+        logit_scale = self.param(
+            'logit_scale', nn.initializers.constant(np.log(10.0)),
+            (self.n_heads, 1, 1))
+        return jnp.exp(jnp.minimum(logit_scale, jnp.log(1.0 / 0.01)))
+
+    @nn.compact
+    def __call__(self, x, shift_spec=None, train: bool = False):
+        """x: (B_windows, N, C); shift_spec: None for unshifted blocks,
+        else (Hp, Wp, ws, shift_h, shift_w) describing the padded image
+        window grid (the dense (nW, N, N) mask and the fused kernel's
+        pattern table both derive from it at trace time)."""
+        from ...ops.pallas.window_attention import (
+            fused_window_attention, supports_fused_window_attention,
+        )
+
+        Bw, N, C = x.shape
+        h = self.n_heads
+        d = C // h
+
+        qkv = nn.Dense(3 * C, use_bias=True, dtype=self.dtype,
+                       kernel_init=_trunc_normal(), name='qkv')(x)
+        bias = self._position_bias(N)
+
+        backend = self.backend
+        if backend == 'auto':
+            backend = ('pallas' if not train
+                       and jax.default_backend() == 'tpu' else 'xla')
+        use_fused = (backend in ('pallas', 'pallas-interpret')
+                     and not train
+                     and supports_fused_window_attention(Bw, N, C, h))
+
+        if use_fused:
+            # fused path: logits/softmax/PV in one Pallas pass; the
+            # (Bw, h, N, N) logits never reach HBM. q keeps the GEMM's
+            # (Bw, N, C) layout; per-head scale folds into q.
+            q = qkv[..., :C]
+            k = qkv[..., C:2 * C]
+            v = qkv[..., 2 * C:]
+            if self.v2:
+                q4 = q.reshape(Bw, N, h, d)
+                k4 = k.reshape(Bw, N, h, d)
+                q4 = q4 / jnp.maximum(
+                    jnp.linalg.norm(q4, axis=-1, keepdims=True), 1e-6)
+                k4 = k4 / jnp.maximum(
+                    jnp.linalg.norm(k4, axis=-1, keepdims=True), 1e-6)
+                scale = self._v2_scale()                # (h, 1, 1)
+                q = (q4 * scale[None, None, :, 0]).reshape(Bw, N, C)
+                k = k4.reshape(Bw, N, C)
+            else:
+                q = q * (d ** -0.5)
+            if shift_spec is not None:
+                Hp, Wp, ws, sh, sw = shift_spec
+                grid_hw = (Hp // ws, Wp // ws)
+                shift_masks = _shift_attn_mask(Hp, Wp, ws, sh, sw)
+            else:
+                grid_hw, shift_masks = (1, 1), None
+            out = fused_window_attention(
+                q, k, v, bias, h, grid_hw, shift_masks,
+                interpret=backend == 'pallas-interpret')
+            out = out.astype(self.dtype)
         else:
-            table = self.param(
-                'relative_position_bias_table', _trunc_normal(),
-                ((2 * ws - 1) ** 2, h))
-            idx = _relative_position_index(ws)
-            bias = table[jnp.asarray(idx.reshape(-1))]
-            bias = bias.reshape(N, N, h).transpose(2, 0, 1)
+            # XLA path: slice + reshape in the GEMM's own (Bw, N, 3C)
+            # layout; the 3C axis decomposes as (3, h, d), so
+            # qkv[..., :C] IS the q of the reference's reshape(3, h, d)
+            # split. The head transpose stays implicit in the einsums
+            # (XLA folds it into the matmuls instead of materializing
+            # a (3, Bw, h, N, d) relayout)
+            q = qkv[..., :C].reshape(Bw, N, h, d)
+            k = qkv[..., C:2 * C].reshape(Bw, N, h, d)
+            v = qkv[..., 2 * C:].reshape(Bw, N, h, d)
 
-        attn = attn + bias[None].astype(attn.dtype)
+            if self.v2:
+                # cosine attention with learned per-head logit scale
+                q = q / jnp.maximum(
+                    jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-6)
+                k = k / jnp.maximum(
+                    jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-6)
+                # logits stored in the compute dtype: at bf16 serving
+                # this halves the (Bw, h, N, N) HBM footprint and every
+                # softmax pass over it; the MXU still accumulates f32
+                # and f32 master mode (all parity tests) is unchanged
+                attn = (jnp.einsum('bnhd,bmhd->bhnm', q, k,
+                                   preferred_element_type=jnp.float32)
+                        * self._v2_scale()).astype(self.dtype)
+            else:
+                attn = (jnp.einsum('bnhd,bmhd->bhnm', q, k,
+                                   preferred_element_type=jnp.float32)
+                        * (d ** -0.5)).astype(self.dtype)
 
-        if mask is not None:
-            nW = mask.shape[0]
-            attn = attn.reshape(Bw // nW, nW, h, N, N) \
-                + jnp.asarray(mask)[None, :, None].astype(attn.dtype)
-            attn = attn.reshape(Bw, h, N, N)
+            attn = attn + bias[None].astype(attn.dtype)
 
-        # f32-internal softmax over dtype-stored logits: the converts
-        # stay in VPU registers inside the fused pass
-        attn = jax.nn.softmax(attn.astype(jnp.float32),
-                              axis=-1).astype(self.dtype)
-        out = jnp.einsum('bhnm,bmhd->bnhd', attn, v,
-                         preferred_element_type=jnp.float32)
-        out = out.reshape(Bw, N, C).astype(self.dtype)
+            if shift_spec is not None:
+                Hp, Wp, ws, sh, sw = shift_spec
+                mask = _shift_attn_mask(Hp, Wp, ws, sh, sw)
+                nW = mask.shape[0]
+                attn = attn.reshape(Bw // nW, nW, h, N, N) \
+                    + jnp.asarray(mask)[None, :, None].astype(attn.dtype)
+                attn = attn.reshape(Bw, h, N, N)
+
+            # f32-internal softmax over dtype-stored logits: the
+            # converts stay in VPU registers inside the fused pass
+            attn = jax.nn.softmax(attn.astype(jnp.float32),
+                                  axis=-1).astype(self.dtype)
+            out = jnp.einsum('bhnm,bmhd->bnhd', attn, v,
+                             preferred_element_type=jnp.float32)
+            out = out.reshape(Bw, N, C).astype(self.dtype)
+
         return nn.Dense(C, dtype=self.dtype,
                         kernel_init=_trunc_normal(), name='proj')(out)
 
@@ -212,6 +268,8 @@ class SwinBlock(nn.Module):
     attn_chunk_size: int = 0
     # LayerNorm backend ('auto' = fused Pallas kernel on TPU inference)
     ln_backend: str = 'auto'
+    # window-attention backend (see WindowAttention.backend)
+    attn_backend: str = 'auto'
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -231,17 +289,18 @@ class SwinBlock(nn.Module):
         def attention_part(y):
             if pad_h or pad_w:
                 y = jnp.pad(y, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
-            mask = None
+            shift_spec = None
             if shift_h or shift_w:
                 y = jnp.roll(y, (-shift_h, -shift_w), axis=(1, 2))
-                mask = _shift_attn_mask(Hp, Wp, ws, shift_h, shift_w)
+                shift_spec = (Hp, Wp, ws, shift_h, shift_w)
             attn = WindowAttention(
                 dim=C, n_heads=self.n_heads, window_size=ws,
-                v2=self.v2, dtype=self.dtype, name='attn')
+                v2=self.v2, backend=self.attn_backend,
+                dtype=self.dtype, name='attn')
 
             def run(y_sub):
                 windows = window_partition(y_sub, ws)
-                windows = attn(windows, mask)
+                windows = attn(windows, shift_spec, train)
                 return window_unpartition(windows, ws, Hp, Wp)
 
             # image-batch chunking caps the live (Bw, h, N, N) logits /
@@ -380,6 +439,9 @@ class SwinBackbone(Backbone):
     # LayerNorm backend for every LN in the backbone ('auto' = fused
     # Pallas kernel on the TPU inference path, XLA otherwise)
     ln_backend: str = 'auto'
+    # window-attention backend for every block ('auto' = fused Pallas
+    # attention on the TPU inference path when shapes qualify)
+    attn_backend: str = 'auto'
     dtype: Any = jnp.float32
 
     @property
@@ -427,6 +489,7 @@ class SwinBackbone(Backbone):
                     v2=self.v2,
                     attn_chunk_size=self.attn_chunk_size,
                     ln_backend=self.ln_backend,
+                    attn_backend=self.attn_backend,
                     dtype=self.dtype,
                     name=f'layer{i + 1}_block{b}',
                 ))

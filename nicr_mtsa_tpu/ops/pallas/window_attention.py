@@ -1,0 +1,229 @@
+"""Fused Swin window attention: per-window QK^T + bias + shift-mask +
+softmax + PV in ONE Pallas pass -- the (Bw, h, N, N) attention logits
+never touch HBM.
+
+The XLA path (models/backbones/swin.py WindowAttention) materializes
+the logits tensor four times over (write, softmax read+write, PV read);
+at EMSAFormer serving shapes (B64, 480x640, stage 1: 19200 windows x
+4 heads x 64 x 64) that is ~2.5 GB of HBM traffic per block in bf16 --
+the measured EMSAFormer bottleneck (PERF.md). Reference semantics:
+model/backbone/swin.py:196-207 (torchvision shifted_window_attention).
+
+Kernel design (TPU-first):
+
+- **Window pairing.** Two 64-token windows stack into one (128, d)
+  query/key block so every MXU op has a full 128-wide output
+  (a single 64-token window would run the MXU at quarter width). The
+  cross-window logit blocks are killed with a -1e9 additive mask; the
+  2x FLOP overspend buys 4x MXU utilization.
+- **Key-major logits.** Per head, the kernel computes
+  L^T[m, n] = sum_d k2[m, d] q2[n, d] via `dot_general` so the softmax
+  reduction over keys m runs along SUBLANES while queries n ride the
+  128 lanes -- no transposes anywhere in the kernel.
+- **Shift masks as 4 patterns.** Shifted-window masks are nonzero only
+  for windows in the last window-row / window-column, so there are at
+  most 4 distinct (N, N) patterns (interior, last-col, last-row,
+  corner). The kernel holds the 16 possible pattern-PAIR matrices
+  (4 x 4, each (2N, 2N) incl. the cross-window -1e9 blocks) in VMEM
+  and selects per pair with pure scalar index arithmetic -- streaming
+  per-window (nW, N, N) masks from HBM would cost as much traffic as
+  the logits the kernel eliminates.
+- **Relative-position bias** is pre-expanded outside to a
+  block-diagonal (h, 2N, 2N) constant (one per layer) and added in
+  f32 together with the pattern mask.
+
+Numerics: logits and softmax are f32 end-to-end (the MXU accumulates
+bf16 products exactly into f32); probabilities are rounded to the
+input dtype for the PV matmul like the XLA path. Exact-equality tests
+run the f32 path; bf16 agrees with the XLA path to ~1e-2 on outputs
+(the XLA path rounds logits to bf16 before softmax, this kernel does
+not -- the kernel is the *more* precise of the two).
+"""
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG_NEG = -1e9
+
+
+def _make_kernel(T: int, N: int, C: int, h: int, n_patterns: int,
+                 nW: int, nWw: int, nWh: int, out_dtype):
+    d = C // h
+    N2 = 2 * N
+
+    def kernel(q_ref, k_ref, v_ref, bias_ref, pmask_ref, o_ref):
+        t = pl.program_id(0)
+
+        def pattern_id(g):
+            # window g's shift-mask pattern from its position in the
+            # image window grid: 2*last_row + last_col
+            loc = jax.lax.rem(g, nW)
+            r = loc // nWw
+            c = jax.lax.rem(loc, nWw)
+            last_r = (r == nWh - 1).astype(jnp.int32)
+            last_c = (c == nWw - 1).astype(jnp.int32)
+            return 2 * last_r + last_c
+
+        def pair(p, _):
+            q2 = q_ref[pl.ds(2 * p, 2)].reshape(N2, C)
+            k2 = k_ref[pl.ds(2 * p, 2)].reshape(N2, C)
+            v2 = v_ref[pl.ds(2 * p, 2)].reshape(N2, C)
+
+            if n_patterns == 1:
+                pm = pmask_ref[0]
+            else:
+                g0 = t * T + 2 * p
+                pid = pattern_id(g0) * 4 + pattern_id(g0 + 1)
+                pm = pmask_ref[pid]
+
+            pieces = []
+            for j in range(h):
+                sl = slice(j * d, (j + 1) * d)
+                # L^T (keys m on sublanes, queries n on lanes), f32
+                lt = jax.lax.dot_general(
+                    k2[:, sl], q2[:, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                lt = lt + bias_ref[j] + pm
+                mx = jnp.max(lt, axis=0, keepdims=True)
+                e = jnp.exp(lt - mx)
+                s = jnp.sum(e, axis=0, keepdims=True)
+                prob = (e / s).astype(q2.dtype)
+                # out (n, d) = sum_m prob[m, n] v2[m, d]
+                pieces.append(jax.lax.dot_general(
+                    prob, v2[:, sl], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            o = jnp.concatenate(pieces, axis=1).astype(out_dtype)
+            o_ref[pl.ds(2 * p, 2)] = o.reshape(2, N, C)
+            return 0
+
+        jax.lax.fori_loop(0, T // 2, pair, 0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('n_heads', 'grid_hw', 'tile_windows', 'interpret'))
+def _attention_call(q, k, v, bias_pair, pattern_pairs, n_heads,
+                    grid_hw, tile_windows, interpret):
+    Bw, N, C = q.shape
+    nWh, nWw = grid_hw
+    T = tile_windows
+
+    io_spec = pl.BlockSpec((T, N, C), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    const_spec = lambda s: pl.BlockSpec(s, lambda i: (0, 0, 0),
+                                        memory_space=pltpu.VMEM)
+
+    n_patterns = 1 if pattern_pairs.shape[0] == 1 else 4
+    return pl.pallas_call(
+        _make_kernel(T, N, C, n_heads, n_patterns,
+                     nWh * nWw, nWw, nWh, q.dtype),
+        grid=(Bw // T,),
+        in_specs=[io_spec, io_spec, io_spec,
+                  const_spec(bias_pair.shape),
+                  const_spec(pattern_pairs.shape)],
+        out_specs=io_spec,
+        out_shape=jax.ShapeDtypeStruct((Bw, N, C), q.dtype),
+        interpret=interpret,
+    )(q, k, v, bias_pair, pattern_pairs)
+
+
+def build_bias_pair(bias: jnp.ndarray) -> jnp.ndarray:
+    """(h, N, N) query-major additive bias -> block-diagonal key-major
+    (h, 2N, 2N) for the window-pair kernel (off-diagonal zeros; the
+    cross-window kill lives in the pattern masks)."""
+    h, N, _ = bias.shape
+    bt = jnp.swapaxes(bias, 1, 2).astype(jnp.float32)      # key-major
+    out = jnp.zeros((h, 2 * N, 2 * N), jnp.float32)
+    out = out.at[:, :N, :N].set(bt)
+    return out.at[:, N:, N:].set(bt)
+
+
+def build_pattern_pairs(
+    N: int,
+    shift_masks: Optional[np.ndarray],
+    grid_hw: Tuple[int, int],
+) -> np.ndarray:
+    """(P*P, 2N, 2N) f32 pattern-pair mask table.
+
+    shift_masks: the dense (nW, N, N) query-major additive mask from
+    `_shift_attn_mask`, or None when the block is unshifted. Patterns
+    are extracted at the four representative grid positions; degenerate
+    grids (single window row/column) collapse naturally because the
+    representatives coincide.
+    """
+    off = np.full((2 * N, 2 * N), _BIG_NEG, np.float32)
+    if shift_masks is None:
+        table = off.copy()
+        table[:N, :N] = 0.0
+        table[N:, N:] = 0.0
+        return table[None]
+
+    nWh, nWw = grid_hw
+    reps = {}
+    for last_r in (0, 1):
+        for last_c in (0, 1):
+            r = nWh - 1 if last_r else 0
+            c = nWw - 1 if last_c else 0
+            # key-major single-window pattern
+            reps[2 * last_r + last_c] = \
+                shift_masks[r * nWw + c].T.astype(np.float32)
+
+    table = np.full((16, 2 * N, 2 * N), _BIG_NEG, np.float32)
+    for i0 in range(4):
+        for i1 in range(4):
+            m = table[i0 * 4 + i1]
+            m[:N, :N] = reps[i0]
+            m[N:, N:] = reps[i1]
+    return table
+
+
+def pick_tile_windows(Bw: int, C: int) -> int:
+    """Largest even divisor of Bw within a VMEM-informed cap."""
+    cap = 16 if C <= 256 else (8 if C <= 512 else 4)
+    t = min(cap, Bw)
+    t -= t % 2
+    while t > 2 and Bw % t:
+        t -= 2
+    return t if t >= 2 and Bw % t == 0 else 0
+
+
+def fused_window_attention(
+    q: jnp.ndarray,            # (Bw, N, C), scale pre-folded into q
+    k: jnp.ndarray,            # (Bw, N, C)
+    v: jnp.ndarray,            # (Bw, N, C)
+    bias: jnp.ndarray,         # (h, N, N) additive, query-major
+    n_heads: int,
+    grid_hw: Tuple[int, int],  # (nWh, nWw) image window grid
+    shift_masks: Optional[np.ndarray] = None,   # (nW, N, N) or None
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused shifted-window attention; returns (Bw, N, C).
+
+    Callers gate on `supports_fused_window_attention` and fall back to
+    the XLA einsum path otherwise."""
+    Bw, N, C = q.shape
+    T = pick_tile_windows(Bw, C)
+    assert T, (Bw, C)
+    bias_pair = build_bias_pair(bias)
+    patterns = jnp.asarray(build_pattern_pairs(N, shift_masks, grid_hw))
+    return _attention_call(q, k, v, bias_pair, patterns, n_heads,
+                           tuple(grid_hw), T, interpret)
+
+
+def supports_fused_window_attention(Bw: int, N: int, C: int,
+                                    n_heads: int) -> bool:
+    """Shape gate: 64-token windows (v2 win-8; v1 win-7 is 49 tokens
+    and would need token padding), sublane-aligned head dim, pairable
+    window count."""
+    if N != 64 or C % n_heads:
+        return False
+    d = C // n_heads
+    return d % 8 == 0 and Bw % 2 == 0 and pick_tile_windows(Bw, C) > 0

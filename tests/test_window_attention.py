@@ -1,0 +1,109 @@
+"""Fused Pallas window attention vs the XLA einsum path.
+
+The kernel (ops/pallas/window_attention.py) must reproduce the XLA
+WindowAttention path on identical parameters: unshifted and shifted
+(pattern-pair mask table vs dense per-window masks), v1 and v2
+semantics. Interpret mode on CPU; the serving path runs the same
+kernel compiled on TPU (reference semantics:
+model/backbone/swin.py:196-207)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nicr_mtsa_tpu.models.backbones.swin import SwinBlock, WindowAttention
+from nicr_mtsa_tpu.ops.pallas.window_attention import (
+    build_pattern_pairs, pick_tile_windows,
+    supports_fused_window_attention,
+)
+
+
+def _attn_pair(v2: bool, C: int = 128, h: int = 4):
+    xla = WindowAttention(dim=C, n_heads=h, window_size=8, v2=v2,
+                          backend='xla')
+    fused = WindowAttention(dim=C, n_heads=h, window_size=8, v2=v2,
+                            backend='pallas-interpret')
+    return xla, fused
+
+
+@pytest.mark.parametrize('v2', [False, True])
+def test_fused_matches_xla_unshifted(v2):
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(4, 64, 128)).astype(np.float32))
+    xla, fused = _attn_pair(v2)
+    variables = xla.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(xla.apply(variables, x))
+    got = np.asarray(fused.apply(variables, x))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize('v2', [False, True])
+def test_fused_matches_xla_shifted(v2):
+    """2x3 window grid: every pattern id (interior, last-row, last-col,
+    corner) appears; two images so window->image mapping is exercised."""
+    ws, shift = 8, 4
+    Hp, Wp = 16, 24                          # 2 x 3 windows
+    nW = (Hp // ws) * (Wp // ws)
+    B = 2
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(
+        rng.normal(size=(B * nW, 64, 128)).astype(np.float32))
+    shift_spec = (Hp, Wp, ws, shift, shift)
+
+    xla, fused = _attn_pair(v2)
+    variables = xla.init(jax.random.PRNGKey(1), x, shift_spec)
+    ref = np.asarray(xla.apply(variables, x, shift_spec))
+    got = np.asarray(fused.apply(variables, x, shift_spec))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_pattern_pair_table_matches_dense_masks():
+    """The 16-entry pattern-pair table must contain exactly the dense
+    per-window masks in key-major layout for every window pair the
+    kernel forms."""
+    from nicr_mtsa_tpu.models.backbones.swin import _shift_attn_mask
+    Hp, Wp, ws, shift = 24, 32, 8, 4
+    nWh, nWw = Hp // ws, Wp // ws
+    dense = _shift_attn_mask(Hp, Wp, ws, shift, shift)    # (nW, N, N)
+    table = build_pattern_pairs(64, dense, (nWh, nWw))
+    assert table.shape == (16, 128, 128)
+
+    def pattern_id(w):
+        r, c = w // nWw, w % nWw
+        return 2 * int(r == nWh - 1) + int(c == nWw - 1)
+
+    nW = nWh * nWw
+    for w0 in range(0, nW - 1, 2):
+        pid = pattern_id(w0) * 4 + pattern_id(w0 + 1)
+        np.testing.assert_array_equal(table[pid][:64, :64], dense[w0].T)
+        np.testing.assert_array_equal(table[pid][64:, 64:],
+                                      dense[w0 + 1].T)
+        assert (table[pid][:64, 64:] == -1e9).all()
+        assert (table[pid][64:, :64] == -1e9).all()
+
+
+def test_swin_block_fused_matches_xla():
+    """Full SwinBlock (shifted, v2, padding + roll + un/partition) with
+    the fused attention backend vs the XLA backend, same params."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 20, 28, 128)).astype(np.float32))
+
+    def block(backend):
+        return SwinBlock(dim=128, n_heads=4, window_size=8, shift=4,
+                         v2=True, attn_backend=backend, ln_backend='xla')
+
+    variables = block('xla').init(jax.random.PRNGKey(2), x)
+    ref = np.asarray(block('xla').apply(variables, x))
+    got = np.asarray(block('pallas-interpret').apply(variables, x))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_support_gate_and_tiling():
+    assert supports_fused_window_attention(600, 64, 128, 4)
+    assert not supports_fused_window_attention(600, 49, 128, 4)  # v1 win7
+    assert not supports_fused_window_attention(601, 64, 128, 4)  # odd Bw
+    assert not supports_fused_window_attention(600, 64, 130, 4)
+    t = pick_tile_windows(19200, 128)
+    assert t and t % 2 == 0 and 19200 % t == 0
+    t = pick_tile_windows(6, 1024)
+    assert t and 6 % t == 0

@@ -106,10 +106,29 @@ def emsaformer_dve(n_classes: int = 40, scene_n_classes: int = 10,
     )
 
 
+def emsaformer_dve_v2(n_classes: int = 40, scene_n_classes: int = 10,
+                      embedding_dim: int = 512,
+                      input_size: Tuple[int, int] = (480, 640),
+                      dtype=jnp.bfloat16) -> MultiTaskModelConfig:
+    """Config #5b: EMSAFormer on the SwinV2-T-128 multimodal backbone
+    (reference `swin-multi-t-v2-128`; the paper's transformer variant
+    with cosine attention + log-CPB). The 8x8 windows (64 tokens) are
+    the TPU-aligned case: serving runs the fused Pallas window
+    attention (ops/pallas/window_attention.py), so the attention
+    logits never materialize in HBM."""
+    import dataclasses
+    return dataclasses.replace(
+        emsaformer_dve(n_classes, scene_n_classes, embedding_dim,
+                       input_size, dtype),
+        backbone_rgbd='swin-multi-t-v2-128',
+    )
+
+
 BENCH_CONFIGS = {
     'resnet18_rgb_semantic': resnet18_rgb_semantic,
     'rgbd_resnet34_nbt1d_semantic': rgbd_resnet34_nbt1d_semantic,
     'panoptic_resnet34_nbt1d': panoptic_resnet34_nbt1d,
     'emsanet': emsanet,
     'emsaformer_dve': emsaformer_dve,
+    'emsaformer_dve_v2': emsaformer_dve_v2,
 }

@@ -1,9 +1,9 @@
 """Batch utilities (reference data/_utils.py:12-60).
 
 `move_batch_to_device` transfers numpy entries (recursively through
-nested `_down_<k>` dicts and ragged lists) to jax device arrays via a
-single `jax.device_put` call over the collected pytree -- one transfer
-instead of one per leaf."""
+nested `_down_<k>` dicts and ragged lists) to jax device arrays via
+`jax.device_put` per leaf; non-array entries (strings, slices,
+provenance meta) pass through untouched."""
 from typing import Optional, Sequence
 
 import numpy as np
@@ -14,10 +14,9 @@ from ..types import BatchType
 
 
 def infer_batch_size(batch: BatchType, key: Optional[str] = None) -> int:
-    if key is not None:
-        return batch[key].shape[0]
-    tensor = batch.get('rgb', batch.get('depth', None))
-    return tensor.shape[0]
+    probe = batch[key] if key is not None \
+        else batch.get('rgb', batch.get('depth', None))
+    return probe.shape[0]
 
 
 def _transferable(value) -> bool:
@@ -31,24 +30,27 @@ def move_batch_to_device(
     keys_to_ignore_recursive: bool = True,
 ) -> BatchType:
     assert isinstance(batch, dict), "Not implemented"
+    skip = frozenset(keys_to_ignore or ())
+
+    def place(value):
+        if _transferable(value):
+            return jax.device_put(value, device)
+        if isinstance(value, list):
+            return [place(item) if _transferable(item) else item
+                    for item in value]
+        return value
 
     out = {}
     for key, value in batch.items():
-        if keys_to_ignore is not None and key in keys_to_ignore:
+        if key in skip:
             out[key] = value
-        elif isinstance(value, dict) and not hasattr(value, '_collate_ignored'):
-            to_ignore = keys_to_ignore if keys_to_ignore_recursive else None
+        elif isinstance(value, dict) and not hasattr(value,
+                                                     '_collate_ignored'):
             # nested multiscale dicts; CollateIgnoredDicts arrive as lists
             out[key] = move_batch_to_device(
-                value, device=device, keys_to_ignore=to_ignore
-            )
-        elif isinstance(value, list):
-            out[key] = [
-                jax.device_put(item, device) if _transferable(item) else item
-                for item in value
-            ]
-        elif _transferable(value):
-            out[key] = jax.device_put(value, device)
+                value, device=device,
+                keys_to_ignore=(keys_to_ignore
+                                if keys_to_ignore_recursive else None))
         else:
-            out[key] = value
+            out[key] = place(value)
     return out

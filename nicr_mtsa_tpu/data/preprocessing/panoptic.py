@@ -29,25 +29,27 @@ class PanopticTargetGenerator(PreprocessingBase):
         multiscale_processing: bool = True,
         segment_table_size: int = DEFAULT_SEGMENT_TABLE_SIZE,
     ) -> None:
-        self._thing_class_ids = None
-        if semantic_classes_is_thing is not None:
+        if semantic_classes_is_thing is None:
+            self._thing_class_ids = None
+        else:
             assert not use_is_thing_from_meta
-            self._thing_class_ids = np.where(semantic_classes_is_thing)[0]
+            self._thing_class_ids = np.flatnonzero(
+                np.asarray(semantic_classes_is_thing))
         self._use_is_thing_from_meta = use_is_thing_from_meta
-        if self._use_is_thing_from_meta:
-            assert self._thing_class_ids is None
-
-        self._max_instances_per_category = MAX_INSTANCES_PER_CATEGORY
         self._void_label = 0
         self._segment_table_size = segment_table_size
 
         super().__init__(
-            fixed_parameters={
-                'max_instances_per_category': self._max_instances_per_category,
-                'void_label': self._void_label,
-            },
             multiscale_processing=multiscale_processing,
-        )
+            fixed_parameters=dict(
+                max_instances_per_category=MAX_INSTANCES_PER_CATEGORY,
+                void_label=self._void_label))
+
+    def _merge(self, semantic, instance, thing_ids):
+        return naive_merge_semantic_and_instance_np(
+            semantic, instance.astype(np.uint16),
+            max_instances_per_category=MAX_INSTANCES_PER_CATEGORY,
+            thing_ids=thing_ids, void_label=self._void_label)
 
     def _preprocess(
         self, sample: SampleType, **kwargs
@@ -57,18 +59,11 @@ class PanopticTargetGenerator(PreprocessingBase):
 
         thing_ids = self._thing_class_ids
         if thing_ids is None and self._use_is_thing_from_meta:
-            thing_ids = np.where(
-                sample['meta']['semantic_label_list'].classes_is_thing
-            )[0]
+            thing_ids = np.flatnonzero(np.asarray(
+                sample['meta']['semantic_label_list'].classes_is_thing))
 
-        panoptic_targets, panoptic_targets_id_dicts = \
-            naive_merge_semantic_and_instance_np(
-                sample['semantic'],
-                sample['instance'].astype(np.uint16),
-                max_instances_per_category=self._max_instances_per_category,
-                thing_ids=thing_ids,
-                void_label=self._void_label,
-            )
+        panoptic_targets, panoptic_targets_id_dicts = self._merge(
+            sample['semantic'], sample['instance'], thing_ids)
 
         sample['panoptic'] = panoptic_targets
         sample['panoptic_ids_to_instance_dict'] = \
@@ -97,14 +92,8 @@ class PanopticTargetGenerator(PreprocessingBase):
         ins_fullres = sample.get('instance_fullres')
         if (sem_fullres is not None and ins_fullres is not None
                 and 'panoptic_fullres' not in sample):
-            pan_fullres, id_dict_fullres = \
-                naive_merge_semantic_and_instance_np(
-                    sem_fullres,
-                    ins_fullres.astype(np.uint16),
-                    max_instances_per_category=self._max_instances_per_category,
-                    thing_ids=thing_ids,
-                    void_label=self._void_label,
-                )
+            pan_fullres, id_dict_fullres = self._merge(
+                sem_fullres, ins_fullres, thing_ids)
             sample['panoptic_fullres'] = pan_fullres
             sample['panoptic_ids_to_instance_dict_fullres'] = \
                 CollateIgnoredDict(id_dict_fullres)

@@ -12,23 +12,22 @@ from .base import LossBase
 
 class VonMisesLossBiternion(LossBase):
     def __init__(self, reduction: str = 'sum', kappa: float = 1.0) -> None:
-        assert reduction in ('sum', 'none')
+        if reduction not in ('sum', 'none'):
+            raise ValueError(f"unsupported reduction: '{reduction}'")
         self._kappa = float(kappa)
         self._reduction = reduction
 
     def _compute_loss(self, input_, target) -> Tuple:
-        if input_.ndim != 2 or target.ndim != 2:
+        if 2 != input_.ndim or 2 != target.ndim:
             raise ValueError(
-                "VonMisesLossBiternion does only support 2d inputs with "
-                "shape (n, 2); reshape channels-last inputs to "
-                "(b*h*w, c=2) after masking."
-            )
-        cos_angles = jnp.sum(
+                'expected biternion inputs of shape (n, 2); reshape '
+                'channels-last maps to (b*h*w, 2) after masking')
+        cos_delta = jnp.sum(
             input_.astype(jnp.float32) * target.astype(jnp.float32),
             axis=1, keepdims=True)
-        score = 1.0 - jnp.exp(self._kappa * (cos_angles - 1.0))
+        per_pair = 1.0 - jnp.exp(self._kappa * (cos_delta - 1.0))
 
-        n_elements = jnp.asarray(score.size, jnp.int32)
-        if 'sum' == self._reduction:
-            return jnp.sum(score), n_elements
-        return score, n_elements
+        n_elements = jnp.asarray(per_pair.size, jnp.int32)
+        if self._reduction == 'none':
+            return per_pair, n_elements
+        return jnp.sum(per_pair), n_elements

@@ -6,9 +6,11 @@ from .base import LossWeightingBase
 
 
 class FixedLossWeighting(LossWeightingBase):
+    """Static weighted sum of the per-task total losses."""
+
     def __init__(self, weights: Dict[str, float]) -> None:
         self._initial_weights = weights
-        self._weights = deepcopy(self._initial_weights)
+        self.reset_weights()
 
     @property
     def weights(self) -> Dict[str, float]:

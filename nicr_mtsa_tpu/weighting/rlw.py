@@ -8,13 +8,12 @@ from .base import LossWeightingBase
 
 
 class RandomLossWeighting(LossWeightingBase):
-    def __init__(
-        self,
-        loss_keys_to_consider: Sequence[str],
-        temperature: float = 1.0,
-        scale: bool = False,
-        seed: int = 0,
-    ) -> None:
+    """Draws a fresh softmax(normal / T) weight vector each step;
+    optionally rescaled so the weights sum to the task count."""
+
+    def __init__(self, loss_keys_to_consider: Sequence[str],
+                 temperature: float = 1.0, scale: bool = False,
+                 seed: int = 0) -> None:
         self._loss_keys = tuple(loss_keys_to_consider)
         self._temperature = temperature
         self._scale = scale
@@ -30,13 +29,13 @@ class RandomLossWeighting(LossWeightingBase):
         self._compute_weights()
 
     def _compute_weights(self) -> None:
-        z = self._rng.normal(size=len(self._loss_keys)) / self._temperature
-        e = np.exp(z - z.max())
-        weights = e / e.sum()
+        gauss = self._rng.normal(size=len(self._loss_keys))
+        softmax = np.exp(gauss / self._temperature)
+        softmax /= softmax.sum()
         if self._scale:
-            weights = weights * len(weights)
-        self._weights = {k: float(w)
-                         for k, w in zip(self._loss_keys, weights)}
+            softmax *= len(softmax)
+        self._weights = dict(
+            zip(self._loss_keys, (float(w) for w in softmax)))
 
     def reduce_losses(self, losses: Dict, batch_idx: int):
         self._compute_weights()

@@ -121,8 +121,8 @@ class InstanceTargetGenerator(PreprocessingBase):
         multiscale_processing: bool = False,
     ) -> None:
         # sigma keyed by downscale; None = the main (full working) scale
-        self._sigma_by_scale = dict(
-            {None: sigma}, **(sigma_for_additional_downscales or {}))
+        self._sigma_by_scale = {None: sigma}
+        self._sigma_by_scale.update(sigma_for_additional_downscales or {})
         self._gauss_by_scale = {k: _gaussian_patch(s)
                                 for k, s in self._sigma_by_scale.items()}
 

@@ -110,6 +110,32 @@ def _shift_attn_mask(H: int, W: int, ws: int, shift_h: int,
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
 
+class QKVProjection(nn.Module):
+    """Dense to 3C with an optionally dead key-bias slice.
+
+    Swin v2 (torchvision shifted_window_attention) zeroes the k third
+    of the qkv bias on EVERY forward: k is L2-normalized per head, so
+    a key bias is not a no-op and the reference explicitly disables
+    it. The parameter tree matches nn.Dense ('kernel'/'bias'), so
+    ported checkpoints and v1 models are unaffected."""
+    features: int
+    zero_k_bias: bool = False
+    kernel_init: Any = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param('kernel', self.kernel_init or _trunc_normal(),
+                            (x.shape[-1], self.features))
+        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+        if self.zero_k_bias:
+            C = self.features // 3
+            bias = jnp.asarray(bias).at[C:2 * C].set(0.0)
+        x, kernel, bias = nn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype)
+        return jnp.dot(x, kernel) + bias
+
+
 class WindowAttention(nn.Module):
     dim: int
     n_heads: int
@@ -163,8 +189,8 @@ class WindowAttention(nn.Module):
         h = self.n_heads
         d = C // h
 
-        qkv = nn.Dense(3 * C, use_bias=True, dtype=self.dtype,
-                       kernel_init=_trunc_normal(), name='qkv')(x)
+        qkv = QKVProjection(3 * C, zero_k_bias=self.v2, dtype=self.dtype,
+                            name='qkv')(x)
         bias = self._position_bias(N)
 
         backend = self.backend

@@ -48,8 +48,13 @@ class FusedLayerNorm(nn.Module):
 
     backend: 'auto' (Pallas on TPU inference, XLA otherwise), 'xla',
     'pallas', or 'pallas-interpret' (CPU tests). Training always takes
-    the XLA path -- the kernel defines no VJP."""
-    epsilon: float = 1e-6
+    the XLA path -- the kernel defines no VJP.
+
+    epsilon defaults to torch nn.LayerNorm's 1e-5 (not flax's 1e-6):
+    every LayerNorm in this framework mirrors a torch one in the
+    reference, and the eps mismatch compounds to ~1e-3 disagreement
+    over a Swin stage in weight-port parity tests."""
+    epsilon: float = 1e-5
     backend: str = 'auto'
     dtype: Any = jnp.float32
 

@@ -135,16 +135,24 @@ def _dense(weight_oi) -> np.ndarray:
 def port_swin_state_dict(
     state_dict: Dict[str, Any],
     depths: Tuple[int, ...] = (2, 2, 6, 2),
+    v2: bool = False,
 ) -> Dict[str, Any]:
     """torchvision-style Swin state dict -> flax params for
-    models/backbones/swin.SwinBackbone (v1).
+    models/backbones/swin.SwinBackbone.
 
     torchvision layout: features.0 = patch embed (conv + LN);
     features.{1,3,5,7} = block stages; features.{2,4,6} = patch
     mergings; final `norm`. Patch-merging neighbor order differs
     (torchvision concatenates (0,0),(1,0),(0,1),(1,1); this framework
     uses row-major (0,0),(0,1),(1,0),(1,1)), so the reduction weight's
-    input blocks are permuted accordingly."""
+    input blocks are permuted accordingly.
+
+    v2 (torchvision SwinTransformer V2 blocks): per-head `logit_scale`
+    and the log-CPB MLP (`cpb_mlp.0/.2` -> `cpb_fc1`/`cpb_fc2`) port
+    instead of the bias table; `relative_coords_table` /
+    `relative_position_index` buffers are derived statically here and
+    skipped; the patch-merging norm acts on the REDUCED 2C features,
+    so only the reduction weight gets the neighbor permutation."""
     state = clean_state_dict_keys(state_dict)
     params: Dict[str, Any] = {}
 
@@ -160,20 +168,29 @@ def port_swin_state_dict(
         t_stage = 1 + 2 * stage
         for b in range(depth):
             t = f'features.{t_stage}.{b}'
+            attn: Dict[str, Any] = {
+                'qkv': {'kernel': _dense(state[f'{t}.attn.qkv.weight']),
+                        'bias': _np(state[f'{t}.attn.qkv.bias'])},
+                'proj': {'kernel':
+                         _dense(state[f'{t}.attn.proj.weight']),
+                         'bias': _np(state[f'{t}.attn.proj.bias'])},
+            }
+            if v2:
+                attn['logit_scale'] = _np(state[f'{t}.attn.logit_scale'])
+                attn['cpb_fc1'] = {
+                    'kernel': _dense(state[f'{t}.attn.cpb_mlp.0.weight']),
+                    'bias': _np(state[f'{t}.attn.cpb_mlp.0.bias'])}
+                attn['cpb_fc2'] = {
+                    'kernel': _dense(state[f'{t}.attn.cpb_mlp.2.weight'])}
+            else:
+                attn['relative_position_bias_table'] = _np(
+                    state[f'{t}.attn.relative_position_bias_table'])
             params[f'layer{stage + 1}_block{b}'] = {
                 'norm1': {'scale': _np(state[f'{t}.norm1.weight']),
                           'bias': _np(state[f'{t}.norm1.bias'])},
                 'norm2': {'scale': _np(state[f'{t}.norm2.weight']),
                           'bias': _np(state[f'{t}.norm2.bias'])},
-                'attn': {
-                    'qkv': {'kernel': _dense(state[f'{t}.attn.qkv.weight']),
-                            'bias': _np(state[f'{t}.attn.qkv.bias'])},
-                    'proj': {'kernel':
-                             _dense(state[f'{t}.attn.proj.weight']),
-                             'bias': _np(state[f'{t}.attn.proj.bias'])},
-                    'relative_position_bias_table': _np(
-                        state[f'{t}.attn.relative_position_bias_table']),
-                },
+                'attn': attn,
                 'mlp_fc1': {'kernel': _dense(state[f'{t}.mlp.0.weight']),
                             'bias': _np(state[f'{t}.mlp.0.bias'])},
                 'mlp_fc2': {'kernel': _dense(state[f'{t}.mlp.3.weight']),
@@ -189,13 +206,19 @@ def port_swin_state_dict(
             red = np.concatenate(blocks, axis=0)
             norm_scale = _np(state[f'{t}.norm.weight'])
             norm_bias = _np(state[f'{t}.norm.bias'])
-            ns = np.concatenate([norm_scale[0:C], norm_scale[2*C:3*C],
-                                 norm_scale[C:2*C], norm_scale[3*C:4*C]])
-            nb = np.concatenate([norm_bias[0:C], norm_bias[2*C:3*C],
-                                 norm_bias[C:2*C], norm_bias[3*C:4*C]])
+            if not v2:
+                # v1 norm acts on the concatenated 4C neighbors ->
+                # permute like the reduction input; v2 norms the
+                # reduced 2C output (no neighbor order to fix)
+                norm_scale = np.concatenate(
+                    [norm_scale[0:C], norm_scale[2 * C:3 * C],
+                     norm_scale[C:2 * C], norm_scale[3 * C:4 * C]])
+                norm_bias = np.concatenate(
+                    [norm_bias[0:C], norm_bias[2 * C:3 * C],
+                     norm_bias[C:2 * C], norm_bias[3 * C:4 * C]])
             params[f'merge{stage + 1}'] = {
                 'reduction': {'kernel': red},
-                'norm': {'scale': ns, 'bias': nb},
+                'norm': {'scale': norm_scale, 'bias': norm_bias},
             }
 
     params['norm'] = {'scale': _np(state['norm.weight']),

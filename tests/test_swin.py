@@ -140,7 +140,7 @@ def test_swin_block_vs_bruteforce_numpy():
 
     p = jax.tree_util.tree_map(np.asarray, variables['params'])
 
-    def ln(z, prm, eps=1e-6):
+    def ln(z, prm, eps=1e-5):
         m = z.mean(-1, keepdims=True)
         v = z.var(-1, keepdims=True)
         return (z - m) / np.sqrt(v + eps) * prm['scale'] + prm['bias']

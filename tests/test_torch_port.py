@@ -202,8 +202,11 @@ def test_swin_port_structural():
 
 def _torch_shifted_window_attention(x, qkv_w, qkv_b, proj_w, proj_b,
                                     bias_table, window_size, shift_size,
-                                    num_heads):
-    """Line-for-line torchvision shifted_window_attention (v1)."""
+                                    num_heads, logit_scale=None,
+                                    cpb=None):
+    """Line-for-line torchvision shifted_window_attention; v2 semantics
+    (cosine attention, clamped logit scale, zeroed k bias, 16*sigmoid
+    log-CPB bias) when `logit_scale`/`cpb` are given."""
     import torch.nn.functional as F
     B, H, W, C = x.shape
     ws = window_size
@@ -225,12 +228,22 @@ def _torch_shifted_window_attention(x, qkv_w, qkv_b, proj_w, proj_b,
     x = x.view(B, pad_H // ws, ws, pad_W // ws, ws, C)
     x = x.permute(0, 1, 3, 2, 4, 5).reshape(B * num_windows, ws * ws, C)
 
+    if logit_scale is not None and qkv_b is not None:
+        qkv_b = qkv_b.clone()
+        length = qkv_b.numel() // 3
+        qkv_b[length:2 * length].zero_()
     qkv = F.linear(x, qkv_w, qkv_b)
     qkv = qkv.reshape(x.size(0), x.size(1), 3, num_heads,
                       C // num_heads).permute(2, 0, 3, 1, 4)
     q, k, v = qkv[0], qkv[1], qkv[2]
-    q = q * (C // num_heads) ** -0.5
-    attn = q.matmul(k.transpose(-2, -1))
+    if logit_scale is not None:
+        attn = F.normalize(q, dim=-1).matmul(
+            F.normalize(k, dim=-1).transpose(-2, -1))
+        attn = attn * torch.clamp(
+            logit_scale, max=torch.log(torch.tensor(100.0))).exp()
+    else:
+        q = q * (C // num_heads) ** -0.5
+        attn = q.matmul(k.transpose(-2, -1))
 
     # relative position bias
     N = ws * ws
@@ -240,7 +253,21 @@ def _torch_shifted_window_attention(x, qkv_w, qkv_b, proj_w, proj_b,
     rel = flat[:, :, None] - flat[:, None, :]
     rel = rel.permute(1, 2, 0).contiguous() + (ws - 1)
     idx = (rel[..., 0] * (2 * ws - 1) + rel[..., 1]).flatten()
-    bias = bias_table[idx].view(N, N, -1).permute(2, 0, 1)
+    if cpb is not None:
+        # v2 log-CPB: MLP over log-spaced relative coords, 16*sigmoid
+        import torch.nn.functional as F
+        r = torch.arange(-(ws - 1), ws, dtype=torch.float32)
+        table = torch.stack(torch.meshgrid(r, r, indexing='ij'), dim=-1)
+        table = table / (ws - 1) * 8.0
+        table = torch.sign(table) * torch.log2(
+            torch.abs(table) + 1.0) / 3.0
+        w1, b1, w2 = cpb
+        hidden = F.relu(F.linear(table.view(-1, 2), w1, b1))
+        bias_table = F.linear(hidden, w2, None)
+        bias = bias_table[idx].view(N, N, -1).permute(2, 0, 1)
+        bias = 16.0 * torch.sigmoid(bias)
+    else:
+        bias = bias_table[idx].view(N, N, -1).permute(2, 0, 1)
     attn = attn + bias.unsqueeze(0)
 
     if sum(shift) > 0:
@@ -277,16 +304,32 @@ def _torch_shifted_window_attention(x, qkv_w, qkv_b, proj_w, proj_b,
 
 
 class _TorchSwinAttention(tnn.Module):
-    def __init__(self, dim, num_heads, window_size, shift):
+    def __init__(self, dim, num_heads, window_size, shift, v2=False):
         super().__init__()
         self.qkv = tnn.Linear(dim, 3 * dim)
         self.proj = tnn.Linear(dim, dim)
-        self.relative_position_bias_table = tnn.Parameter(
-            torch.randn((2 * window_size - 1) ** 2, num_heads) * 0.02)
+        self.v2 = v2
+        if v2:
+            self.logit_scale = tnn.Parameter(
+                torch.log(10 * torch.ones((num_heads, 1, 1))))
+            self.cpb_mlp = tnn.Sequential(
+                tnn.Linear(2, 512, bias=True), tnn.ReLU(inplace=True),
+                tnn.Linear(512, num_heads, bias=False))
+        else:
+            self.relative_position_bias_table = tnn.Parameter(
+                torch.randn((2 * window_size - 1) ** 2, num_heads) * 0.02)
         self.window_size, self.shift = window_size, shift
         self.num_heads = num_heads
 
     def forward(self, x):
+        if self.v2:
+            return _torch_shifted_window_attention(
+                x, self.qkv.weight, self.qkv.bias, self.proj.weight,
+                self.proj.bias, None,
+                self.window_size, self.shift, self.num_heads,
+                logit_scale=self.logit_scale,
+                cpb=(self.cpb_mlp[0].weight, self.cpb_mlp[0].bias,
+                     self.cpb_mlp[2].weight))
         return _torch_shifted_window_attention(
             x, self.qkv.weight, self.qkv.bias, self.proj.weight,
             self.proj.bias, self.relative_position_bias_table,
@@ -294,16 +337,21 @@ class _TorchSwinAttention(tnn.Module):
 
 
 class _TorchSwinBlock(tnn.Module):
-    def __init__(self, dim, num_heads, window_size, shift):
+    def __init__(self, dim, num_heads, window_size, shift, v2=False):
         super().__init__()
+        self.v2 = v2
         self.norm1 = tnn.LayerNorm(dim)
-        self.attn = _TorchSwinAttention(dim, num_heads, window_size, shift)
+        self.attn = _TorchSwinAttention(dim, num_heads, window_size,
+                                        shift, v2=v2)
         self.norm2 = tnn.LayerNorm(dim)
         self.mlp = tnn.Sequential(
             tnn.Linear(dim, 4 * dim), tnn.GELU(), tnn.Dropout(0.0),
             tnn.Linear(4 * dim, dim), tnn.Dropout(0.0))
 
     def forward(self, x):
+        if self.v2:                     # res-post-norm
+            x = x + self.norm1(self.attn(x))
+            return x + self.norm2(self.mlp(x))
         x = x + self.attn(self.norm1(x))
         return x + self.mlp(self.norm2(x))
 
@@ -331,22 +379,43 @@ class _Permute(tnn.Module):
         return x.permute(0, 2, 3, 1)
 
 
+class _TorchPatchMergingV2(tnn.Module):
+    """torchvision PatchMergingV2: reduction first, then LN over 2C."""
+
+    def __init__(self, dim):
+        super().__init__()
+        self.reduction = tnn.Linear(4 * dim, 2 * dim, bias=False)
+        self.norm = tnn.LayerNorm(2 * dim)
+
+    def forward(self, x):
+        import torch.nn.functional as F
+        _, H, W, _ = x.shape
+        x = F.pad(x, (0, 0, 0, W % 2, 0, H % 2))
+        x0 = x[..., 0::2, 0::2, :]
+        x1 = x[..., 1::2, 0::2, :]
+        x2 = x[..., 0::2, 1::2, :]
+        x3 = x[..., 1::2, 1::2, :]
+        x = torch.cat([x0, x1, x2, x3], -1)
+        return self.norm(self.reduction(x))
+
+
 class _TorchSwin(tnn.Module):
     """torchvision-style swin_transformer with 4 single-block stages."""
 
     def __init__(self, embed=16, heads=(2, 4, 8, 16), ws=7,
-                 depths=(1, 1, 1, 1)):
+                 depths=(1, 1, 1, 1), v2=False):
         super().__init__()
+        merge_cls = _TorchPatchMergingV2 if v2 else _TorchPatchMerging
         feats = [tnn.Sequential(tnn.Conv2d(3, embed, 4, 4), _Permute(),
                                 tnn.LayerNorm(embed))]
         for s, depth in enumerate(depths):
             dim = embed * 2 ** s
             feats.append(tnn.Sequential(*[
                 _TorchSwinBlock(dim, heads[s], ws,
-                                0 if b % 2 == 0 else ws // 2)
+                                0 if b % 2 == 0 else ws // 2, v2=v2)
                 for b in range(depth)]))
             if s < len(depths) - 1:
-                feats.append(_TorchPatchMerging(dim))
+                feats.append(merge_cls(dim))
         self.features = tnn.Sequential(*feats)
         self.norm = tnn.LayerNorm(embed * 2 ** (len(depths) - 1))
 
@@ -396,6 +465,43 @@ def test_swin_forward_parity(hw):
     for i, (j, t) in enumerate(zip(j_outs, t_outs)):
         np.testing.assert_allclose(np.asarray(j), t.numpy(),
                                    atol=1e-4, rtol=1e-4,
+                                   err_msg=f'stage {i}')
+
+
+@pytest.mark.parametrize('attn_backend', ['xla', 'pallas-interpret'])
+def test_swin_v2_forward_parity(attn_backend):
+    """Numeric weight-port parity for SwinV2 (cosine attention with
+    clamped logit scale, zeroed k bias, log-CPB MLP bias, res-post-norm
+    blocks, PatchMergingV2) across all 4 stages -- via the XLA einsum
+    path AND the fused Pallas window-attention kernel (interpret).
+    The v2 window size is 8 (64 tokens), the fused kernel's native
+    shape."""
+    from nicr_mtsa_tpu.models.backbones.swin import SwinBackbone
+    from nicr_mtsa_tpu.utils.torch_port import port_swin_state_dict
+
+    torch.manual_seed(1)
+    depths, heads, embed, ws = (1, 1, 1, 1), (2, 4, 8, 16), 16, 8
+    tmodel = _TorchSwin(embed=embed, heads=heads, ws=ws,
+                        depths=depths, v2=True).eval()
+
+    variables = port_swin_state_dict(tmodel.state_dict(), depths=depths,
+                                     v2=True)
+
+    jmodel = SwinBackbone(embed_dim=embed, depths=depths, n_heads=heads,
+                          window_size=ws, v2=True, stochastic_depth=0.0,
+                          attn_backend=attn_backend, ln_backend='xla')
+
+    x = np.random.default_rng(5).normal(size=(2, 64, 96, 3)) \
+        .astype(np.float32)
+    with torch.no_grad():
+        t_outs = tmodel(torch.tensor(x.transpose(0, 3, 1, 2)))
+    j_outs = jmodel.apply({'params': variables['params']},
+                          jnp.asarray(x), train=False)
+
+    assert len(j_outs) == len(t_outs) == 5
+    for i, (j, t) in enumerate(zip(j_outs, t_outs)):
+        np.testing.assert_allclose(np.asarray(j), t.numpy(),
+                                   atol=2e-4, rtol=2e-4,
                                    err_msg=f'stage {i}')
 
 

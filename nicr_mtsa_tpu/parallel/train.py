@@ -133,6 +133,38 @@ def make_sharded_eval_step(pipeline, mesh: Mesh,
                    out_shardings=(data, repl, repl))
 
 
+def make_spatial_infer(pipeline, mesh: Mesh, axis_name: str = 'space'):
+    """Single-image LATENCY serving: shard the image HEIGHT over the
+    mesh (spatial partitioning). For throughput the data axis is always
+    the right answer (make_sharded_infer), but a single frame cannot be
+    batch-sharded -- row sharding lets all chips cooperate on one
+    image: XLA's partitioner inserts the conv halo exchanges over ICI
+    and turns the context module's global pools into psums
+    automatically.
+
+    Serves the dense semantic head (fullres argmax idx + max-softmax
+    score, row-sharded in/out). The panoptic grouping/merge path needs
+    global image state (top-k centers over the whole frame) and stays
+    on the data-parallel path. Row count at the deepest stage (H/32)
+    should be >= the mesh size or trailing shards idle.
+
+    Returns `infer(variables, rgb_u8, depth_u16) -> dict`."""
+    from ..ops.pallas.semantic_reduce import semantic_score_idx
+
+    repl = replicated(mesh)
+    rows = NamedSharding(mesh, P(None, axis_name))
+
+    def infer(variables, rgb_u8, depth_u16):
+        inputs = pipeline.preprocess(rgb_u8, depth_u16)
+        preds = pipeline.model.apply(variables, inputs, train=False)
+        score, idx = semantic_score_idx(preds['semantic'][0])
+        return {'semantic_segmentation_idx': idx,
+                'semantic_segmentation_score': score}
+
+    return jax.jit(infer, in_shardings=(repl, rows, rows),
+                   out_shardings=rows)
+
+
 def make_sharded_infer(pipeline, mesh: Mesh, axis_name: str = 'data'):
     """Data-parallel SERVING: shard a PanopticInferencePipeline's
     uint8 frame batch over the mesh's `data` axis with replicated

@@ -390,3 +390,68 @@ def test_fallback_retention_prunes_old_steps(tmp_path):
     assert mgr.latest_step() == 4
     restored, extra = mgr.restore(target=state)
     assert extra['epoch'] == 4
+
+
+def test_spatial_infer_matches_single_device():
+    """Row-sharded (spatial-partitioned) single-image inference must
+    reproduce the unsharded forward exactly: XLA inserts the conv halo
+    exchanges and turns the PPM global pools into cross-shard psums."""
+    from jax.sharding import NamedSharding
+    from nicr_mtsa_tpu.models.multi_task import (
+        MultiTaskModelConfig, build_model,
+    )
+    from nicr_mtsa_tpu.parallel.train import make_spatial_infer
+    from nicr_mtsa_tpu.pipeline import PanopticInferencePipeline
+    from nicr_mtsa_tpu.postprocessing import (
+        InstancePostprocessing, PanopticPostprocessing,
+        SemanticPostprocessing,
+    )
+
+    H, W, n_classes = 256, 64, 12   # H/32 = 8 rows: one per shard
+    config = MultiTaskModelConfig(
+        tasks=('semantic',),
+        backbone_rgb='resnet18', backbone_depth='resnet18',
+        resnet_block='basicblock', context_n_channels=32,
+        decoder_n_channels=(16, 16, 16), decoder_n_blocks=1,
+        input_size=(H, W), semantic_n_classes=n_classes)
+    model = build_model(config)
+    is_thing = tuple(i < 4 for i in range(n_classes))
+    post = PanopticPostprocessing(
+        semantic_postprocessing=SemanticPostprocessing(),
+        instance_postprocessing=InstancePostprocessing(
+            heatmap_threshold=0.1, heatmap_nms_kernel_size=3,
+            top_k_instances=8),
+        semantic_classes_is_thing=is_thing,
+        semantic_class_has_orientation=is_thing)
+    pipe = PanopticInferencePipeline(model, post)
+
+    rng = np.random.default_rng(0)
+    rgb = jnp.asarray(rng.integers(0, 255, (1, H, W, 3), dtype=np.uint8))
+    depth = jnp.asarray(
+        rng.integers(0, 2 ** 14, (1, H, W), dtype=np.uint16))
+    variables = jax.jit(
+        lambda k: model.init({'params': k}, pipe.preprocess(rgb, depth),
+                             train=False))(jax.random.PRNGKey(0))
+
+    mesh = make_mesh(8, ('space',))
+    infer = make_spatial_infer(pipe, mesh)
+    out = infer(variables, rgb, depth)
+    assert out['semantic_segmentation_idx'].sharding.is_equivalent_to(
+        NamedSharding(mesh, P(None, 'space')), ndim=3)
+
+    def single(variables, rgb, depth):
+        from nicr_mtsa_tpu.ops.pallas.semantic_reduce import (
+            semantic_score_idx,
+        )
+        preds = model.apply(
+            variables, pipe.preprocess(rgb, depth), train=False)
+        return semantic_score_idx(preds['semantic'][0])
+
+    score_ref, idx_ref = jax.jit(single)(variables, rgb, depth)
+    np.testing.assert_array_equal(
+        np.asarray(out['semantic_segmentation_idx']), np.asarray(idx_ref))
+    # scores agree to reduction-reassociation tolerance (the psum
+    # splits the float sums differently across shards); idx is exact
+    np.testing.assert_allclose(
+        np.asarray(out['semantic_segmentation_score']),
+        np.asarray(score_ref), rtol=1e-4, atol=1e-4)

@@ -149,20 +149,36 @@ def build_pattern_pairs(
     N: int,
     shift_masks: Optional[np.ndarray],
     grid_hw: Tuple[int, int],
+    n_valid: Optional[int] = None,
 ) -> np.ndarray:
     """(P*P, 2N, 2N) f32 pattern-pair mask table.
 
-    shift_masks: the dense (nW, N, N) query-major additive mask from
-    `_shift_attn_mask`, or None when the block is unshifted. Patterns
-    are extracted at the four representative grid positions; degenerate
-    grids (single window row/column) collapse naturally because the
-    representatives coincide.
+    shift_masks: the dense (nV, N_valid, N_valid) query-major additive
+    mask from `_shift_attn_mask`, or None when the block is unshifted.
+    Patterns are extracted at the four representative grid positions;
+    degenerate grids (single window row/column) collapse naturally
+    because the representatives coincide.
+
+    n_valid < N marks token-padded windows (v1's 49-token windows pad
+    to the sublane/lane-aligned 64): pad KEYS get -1e9 so no real
+    query attends to them; pad query rows still produce finite rows
+    (their outputs are sliced away by the caller).
     """
-    off = np.full((2 * N, 2 * N), _BIG_NEG, np.float32)
+    n_valid = N if n_valid is None else n_valid
+
+    def window_block(pattern):
+        # key-major (m, n): rows are keys, columns are queries
+        m = np.full((N, N), _BIG_NEG, np.float32)
+        m[:n_valid, :n_valid] = pattern
+        m[n_valid:, :] = _BIG_NEG       # pad keys: invisible to everyone
+        m[:n_valid, n_valid:] = 0.0     # pad queries: finite columns
+        return m
+
+    zero = np.zeros((n_valid, n_valid), np.float32)
     if shift_masks is None:
-        table = off.copy()
-        table[:N, :N] = 0.0
-        table[N:, N:] = 0.0
+        table = np.full((2 * N, 2 * N), _BIG_NEG, np.float32)
+        table[:N, :N] = window_block(zero)
+        table[N:, N:] = window_block(zero)
         return table[None]
 
     nWh, nWw = grid_hw
@@ -172,8 +188,8 @@ def build_pattern_pairs(
             r = nWh - 1 if last_r else 0
             c = nWw - 1 if last_c else 0
             # key-major single-window pattern
-            reps[2 * last_r + last_c] = \
-                shift_masks[r * nWw + c].T.astype(np.float32)
+            reps[2 * last_r + last_c] = window_block(
+                shift_masks[r * nWw + c].T.astype(np.float32))
 
     table = np.full((16, 2 * N, 2 * N), _BIG_NEG, np.float32)
     for i0 in range(4):
@@ -194,6 +210,9 @@ def pick_tile_windows(Bw: int, C: int) -> int:
     return t if t >= 2 and Bw % t == 0 else 0
 
 
+PADDED_TOKENS = 64      # kernel-native window length (sublane/lane tile)
+
+
 def fused_window_attention(
     q: jnp.ndarray,            # (Bw, N, C), scale pre-folded into q
     k: jnp.ndarray,            # (Bw, N, C)
@@ -207,23 +226,38 @@ def fused_window_attention(
 ) -> jnp.ndarray:
     """Fused shifted-window attention; returns (Bw, N, C).
 
-    Callers gate on `supports_fused_window_attention` and fall back to
-    the XLA einsum path otherwise."""
+    N < 64 (v1's 7x7 = 49-token windows) pads the token axis to 64:
+    pad keys are masked with -1e9 in the pattern table, pad query rows
+    compute garbage that is sliced away here. The pad copy costs one
+    extra qkv-sized round trip; the kernel still removes the ~4x
+    larger logits-tensor HBM traffic. Callers gate on
+    `supports_fused_window_attention` and fall back to the XLA einsum
+    path otherwise."""
     Bw, N, C = q.shape
+    Np = PADDED_TOKENS
     T = pick_tile_windows(Bw, C)
-    assert T, (Bw, C)
+    assert T and N <= Np, (Bw, N, C)
+
+    n_valid = N if N < Np else None
+    if N < Np:
+        pad = ((0, 0), (0, Np - N), (0, 0))
+        q, k, v = (jnp.pad(a, pad) for a in (q, k, v))
+        bias = jnp.pad(bias, ((0, 0), (0, Np - N), (0, Np - N)))
+
     bias_pair = build_bias_pair(bias)
-    patterns = jnp.asarray(build_pattern_pairs(N, shift_masks, grid_hw))
-    return _attention_call(q, k, v, bias_pair, patterns, n_heads,
-                           tuple(grid_hw), T, interpret)
+    patterns = jnp.asarray(
+        build_pattern_pairs(Np, shift_masks, grid_hw, n_valid=n_valid))
+    out = _attention_call(q, k, v, bias_pair, patterns, n_heads,
+                          tuple(grid_hw), T, interpret)
+    return out[:, :N] if N < Np else out
 
 
 def supports_fused_window_attention(Bw: int, N: int, C: int,
                                     n_heads: int) -> bool:
-    """Shape gate: 64-token windows (v2 win-8; v1 win-7 is 49 tokens
-    and would need token padding), sublane-aligned head dim, pairable
+    """Shape gate: windows of at most 64 tokens (v2 win-8 native; v1
+    win-7 via token padding), sublane-aligned head dim, pairable
     window count."""
-    if N != 64 or C % n_heads:
+    if N > PADDED_TOKENS or C % n_heads:
         return False
     d = C // n_heads
     return d % 8 == 0 and Bw % 2 == 0 and pick_tile_windows(Bw, C) > 0

@@ -100,10 +100,34 @@ def test_swin_block_fused_matches_xla():
 
 def test_support_gate_and_tiling():
     assert supports_fused_window_attention(600, 64, 128, 4)
-    assert not supports_fused_window_attention(600, 49, 128, 4)  # v1 win7
+    assert supports_fused_window_attention(600, 49, 128, 4)  # v1: padded
+    assert not supports_fused_window_attention(600, 81, 128, 4)  # win 9
     assert not supports_fused_window_attention(601, 64, 128, 4)  # odd Bw
     assert not supports_fused_window_attention(600, 64, 130, 4)
     t = pick_tile_windows(19200, 128)
     assert t and t % 2 == 0 and 19200 % t == 0
     t = pick_tile_windows(6, 1024)
     assert t and 6 % t == 0
+
+
+@pytest.mark.parametrize('shifted', [False, True])
+def test_fused_matches_xla_v1_win7_padded(shifted):
+    """v1 7x7 windows (49 tokens) run the kernel via token padding to
+    64: pad keys masked, pad query rows sliced away. Must match the
+    XLA path exactly (f32)."""
+    ws, shift = 7, 3
+    Hp, Wp = 14, 21                          # 2 x 3 windows
+    nW = (Hp // ws) * (Wp // ws)
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(
+        rng.normal(size=(2 * nW, ws * ws, 128)).astype(np.float32))
+    shift_spec = (Hp, Wp, ws, shift, shift) if shifted else None
+
+    xla = WindowAttention(dim=128, n_heads=4, window_size=ws,
+                          backend='xla')
+    fused = WindowAttention(dim=128, n_heads=4, window_size=ws,
+                            backend='pallas-interpret')
+    variables = xla.init(jax.random.PRNGKey(4), x, shift_spec)
+    ref = np.asarray(xla.apply(variables, x, shift_spec))
+    got = np.asarray(fused.apply(variables, x, shift_spec))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)

@@ -195,10 +195,13 @@ class WindowAttention(nn.Module):
 
         backend = self.backend
         if backend == 'auto':
-            backend = ('pallas' if not train
-                       and jax.default_backend() == 'tpu' else 'xla')
+            backend = ('pallas' if jax.default_backend() == 'tpu'
+                       else 'xla')
+        # training uses the kernel too: the flash-style custom VJP
+        # (ops/pallas/window_attention._attention_core_bwd) recomputes
+        # the logits from the saved logsumexp, so neither direction
+        # materializes (Bw, h, N, N) in HBM
         use_fused = (backend in ('pallas', 'pallas-interpret')
-                     and not train
                      and supports_fused_window_attention(Bw, N, C, h))
 
         if use_fused:

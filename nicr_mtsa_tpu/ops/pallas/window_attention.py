@@ -51,23 +51,27 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG_NEG = -1e9
 
 
-def _make_kernel(T: int, N: int, C: int, h: int, n_patterns: int,
-                 nW: int, nWw: int, nWh: int, out_dtype):
+def _pattern_id_fn(nW: int, nWw: int, nWh: int):
+    def pattern_id(g):
+        # window g's shift-mask pattern from its position in the
+        # image window grid: 2*last_row + last_col
+        loc = jax.lax.rem(g, nW)
+        r = loc // nWw
+        c = jax.lax.rem(loc, nWw)
+        last_r = (r == nWh - 1).astype(jnp.int32)
+        last_c = (c == nWw - 1).astype(jnp.int32)
+        return 2 * last_r + last_c
+    return pattern_id
+
+
+def _make_fwd_kernel(T: int, N: int, C: int, h: int, n_patterns: int,
+                     nW: int, nWw: int, nWh: int, out_dtype):
     d = C // h
     N2 = 2 * N
+    pattern_id = _pattern_id_fn(nW, nWw, nWh)
 
-    def kernel(q_ref, k_ref, v_ref, bias_ref, pmask_ref, o_ref):
+    def kernel(q_ref, k_ref, v_ref, bias_ref, pmask_ref, o_ref, l_ref):
         t = pl.program_id(0)
-
-        def pattern_id(g):
-            # window g's shift-mask pattern from its position in the
-            # image window grid: 2*last_row + last_col
-            loc = jax.lax.rem(g, nW)
-            r = loc // nWw
-            c = jax.lax.rem(loc, nWw)
-            last_r = (r == nWh - 1).astype(jnp.int32)
-            last_c = (c == nWw - 1).astype(jnp.int32)
-            return 2 * last_r + last_c
 
         def pair(p, _):
             q2 = q_ref[pl.ds(2 * p, 2)].reshape(N2, C)
@@ -93,6 +97,8 @@ def _make_kernel(T: int, N: int, C: int, h: int, n_patterns: int,
                 e = jnp.exp(lt - mx)
                 s = jnp.sum(e, axis=0, keepdims=True)
                 prob = (e / s).astype(q2.dtype)
+                # logsumexp residual for the flash backward
+                l_ref[j, p] = (mx + jnp.log(s)).reshape(N2)
                 # out (n, d) = sum_m prob[m, n] v2[m, d]
                 pieces.append(jax.lax.dot_general(
                     prob, v2[:, sl], (((0,), (0,)), ((), ())),
@@ -106,32 +112,182 @@ def _make_kernel(T: int, N: int, C: int, h: int, n_patterns: int,
     return kernel
 
 
+def _make_bwd_kernel(T: int, N: int, C: int, h: int, n_patterns: int,
+                     nW: int, nWw: int, nWh: int, in_dtype):
+    """Flash-style backward: recompute the pair/head logits from the
+    saved logsumexp, then dV = P dO, dS = P (dP - delta),
+    dQ = dS^T K, dK = dS Q; the bias gradient accumulates across all
+    grid steps into the revisited (h, 2N, 2N) output block."""
+    d = C // h
+    N2 = 2 * N
+    pattern_id = _pattern_id_fn(nW, nWw, nWh)
+
+    def kernel(q_ref, k_ref, v_ref, do_ref, l_ref, bias_ref, pmask_ref,
+               dq_ref, dk_ref, dv_ref, dbias_ref):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            dbias_ref[...] = jnp.zeros(dbias_ref.shape, dbias_ref.dtype)
+
+        def pair(p, _):
+            q2 = q_ref[pl.ds(2 * p, 2)].reshape(N2, C)
+            k2 = k_ref[pl.ds(2 * p, 2)].reshape(N2, C)
+            v2 = v_ref[pl.ds(2 * p, 2)].reshape(N2, C)
+            do2 = do_ref[pl.ds(2 * p, 2)].reshape(N2, C) \
+                .astype(jnp.float32)
+
+            if n_patterns == 1:
+                pm = pmask_ref[0]
+            else:
+                g0 = t * T + 2 * p
+                pid = pattern_id(g0) * 4 + pattern_id(g0 + 1)
+                pm = pmask_ref[pid]
+
+            dqs, dks, dvs = [], [], []
+            for j in range(h):
+                sl = slice(j * d, (j + 1) * d)
+                lt = jax.lax.dot_general(
+                    k2[:, sl], q2[:, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                lt = lt + bias_ref[j] + pm
+                prob32 = jnp.exp(lt - l_ref[j, p][None])     # (m, n)
+                prob = prob32.astype(in_dtype)
+                doj = do2[:, sl].astype(in_dtype)
+                # dV (m, d) = sum_n P[m, n] dO[n, d]
+                dvs.append(jax.lax.dot_general(
+                    prob, doj, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+                # dP (m, n) = sum_d V[m, d] dO[n, d]
+                dp = jax.lax.dot_general(
+                    v2[:, sl], doj, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                delta = jnp.sum(prob32 * dp, axis=0, keepdims=True)
+                ds = prob32 * (dp - delta)                   # (m, n) f32
+                dbias_ref[j] = dbias_ref[j] + ds
+                dsc = ds.astype(in_dtype)
+                # dQ (n, d) = sum_m dS[m, n] K[m, d]
+                dqs.append(jax.lax.dot_general(
+                    dsc, k2[:, sl], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+                # dK (m, d) = sum_n dS[m, n] Q[n, d]
+                dks.append(jax.lax.dot_general(
+                    dsc, q2[:, sl], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+
+            def put(ref, pieces):
+                val = jnp.concatenate(pieces, axis=1).astype(in_dtype)
+                ref[pl.ds(2 * p, 2)] = val.reshape(2, N, C)
+
+            put(dq_ref, dqs)
+            put(dk_ref, dks)
+            put(dv_ref, dvs)
+            return 0
+
+        jax.lax.fori_loop(0, T // 2, pair, 0)
+
+    return kernel
+
+
+def _specs(T, N, C, bias_shape, pmask_shape, n_pairs_per_tile, h):
+    io = pl.BlockSpec((T, N, C), lambda i: (i, 0, 0),
+                      memory_space=pltpu.VMEM)
+    const = lambda s: pl.BlockSpec(s, lambda i: (0,) * len(s),
+                                   memory_space=pltpu.VMEM)
+    lse = pl.BlockSpec((h, n_pairs_per_tile, 2 * N),
+                       lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    return io, const, lse
+
+
 @functools.partial(
     jax.jit,
     static_argnames=('n_heads', 'grid_hw', 'tile_windows', 'interpret'))
-def _attention_call(q, k, v, bias_pair, pattern_pairs, n_heads,
-                    grid_hw, tile_windows, interpret):
+def _fwd_call(q, k, v, bias_pair, pattern_pairs, n_heads,
+              grid_hw, tile_windows, interpret):
     Bw, N, C = q.shape
     nWh, nWw = grid_hw
     T = tile_windows
+    h = n_heads
 
-    io_spec = pl.BlockSpec((T, N, C), lambda i: (i, 0, 0),
-                           memory_space=pltpu.VMEM)
-    const_spec = lambda s: pl.BlockSpec(s, lambda i: (0, 0, 0),
-                                        memory_space=pltpu.VMEM)
-
+    io, const, lse = _specs(T, N, C, bias_pair.shape,
+                            pattern_pairs.shape, T // 2, h)
     n_patterns = 1 if pattern_pairs.shape[0] == 1 else 4
     return pl.pallas_call(
-        _make_kernel(T, N, C, n_heads, n_patterns,
-                     nWh * nWw, nWw, nWh, q.dtype),
+        _make_fwd_kernel(T, N, C, h, n_patterns,
+                         nWh * nWw, nWw, nWh, q.dtype),
         grid=(Bw // T,),
-        in_specs=[io_spec, io_spec, io_spec,
-                  const_spec(bias_pair.shape),
-                  const_spec(pattern_pairs.shape)],
-        out_specs=io_spec,
-        out_shape=jax.ShapeDtypeStruct((Bw, N, C), q.dtype),
+        in_specs=[io, io, io, const(bias_pair.shape),
+                  const(pattern_pairs.shape)],
+        out_specs=(io, lse),
+        out_shape=(jax.ShapeDtypeStruct((Bw, N, C), q.dtype),
+                   jax.ShapeDtypeStruct((h, Bw // 2, 2 * N),
+                                        jnp.float32)),
         interpret=interpret,
     )(q, k, v, bias_pair, pattern_pairs)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('n_heads', 'grid_hw', 'tile_windows', 'interpret'))
+def _bwd_call(q, k, v, do, lse_arr, bias_pair, pattern_pairs, n_heads,
+              grid_hw, tile_windows, interpret):
+    Bw, N, C = q.shape
+    nWh, nWw = grid_hw
+    T = tile_windows
+    h = n_heads
+
+    io, const, lse = _specs(T, N, C, bias_pair.shape,
+                            pattern_pairs.shape, T // 2, h)
+    bias_out = pl.BlockSpec(bias_pair.shape,
+                            lambda i: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    n_patterns = 1 if pattern_pairs.shape[0] == 1 else 4
+    return pl.pallas_call(
+        _make_bwd_kernel(T, N, C, h, n_patterns,
+                         nWh * nWw, nWw, nWh, q.dtype),
+        grid=(Bw // T,),
+        in_specs=[io, io, io, io, lse, const(bias_pair.shape),
+                  const(pattern_pairs.shape)],
+        out_specs=(io, io, io, bias_out),
+        out_shape=(jax.ShapeDtypeStruct((Bw, N, C), q.dtype),
+                   jax.ShapeDtypeStruct((Bw, N, C), q.dtype),
+                   jax.ShapeDtypeStruct((Bw, N, C), q.dtype),
+                   jax.ShapeDtypeStruct(bias_pair.shape, jnp.float32)),
+        interpret=interpret,
+    )(q, k, v, do, lse_arr, bias_pair, pattern_pairs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _attention_core(q, k, v, bias_pair, pattern_pairs, n_heads,
+                    grid_hw, tile_windows, interpret):
+    out, _ = _fwd_call(q, k, v, bias_pair, pattern_pairs, n_heads,
+                       grid_hw, tile_windows, interpret)
+    return out
+
+
+def _attention_core_fwd(q, k, v, bias_pair, pattern_pairs, n_heads,
+                        grid_hw, tile_windows, interpret):
+    out, lse_arr = _fwd_call(q, k, v, bias_pair, pattern_pairs, n_heads,
+                             grid_hw, tile_windows, interpret)
+    return out, (q, k, v, bias_pair, pattern_pairs, lse_arr)
+
+
+def _attention_core_bwd(n_heads, grid_hw, tile_windows, interpret,
+                        res, dout):
+    q, k, v, bias_pair, pattern_pairs, lse_arr = res
+    dq, dk, dv, dbias = _bwd_call(
+        q, k, v, dout, lse_arr, bias_pair, pattern_pairs, n_heads,
+        grid_hw, tile_windows, interpret)
+    return dq, dk, dv, dbias, jnp.zeros_like(pattern_pairs)
+
+
+_attention_core.defvjp(_attention_core_fwd, _attention_core_bwd)
+
+
+def _attention_call(q, k, v, bias_pair, pattern_pairs, n_heads,
+                    grid_hw, tile_windows, interpret):
+    return _attention_core(q, k, v, bias_pair, pattern_pairs, n_heads,
+                           grid_hw, tile_windows, interpret)
 
 
 def build_bias_pair(bias: jnp.ndarray) -> jnp.ndarray:

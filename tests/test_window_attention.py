@@ -131,3 +131,64 @@ def test_fused_matches_xla_v1_win7_padded(shifted):
     ref = np.asarray(xla.apply(variables, x, shift_spec))
     got = np.asarray(fused.apply(variables, x, shift_spec))
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize('v2', [False, True])
+def test_fused_gradients_match_xla(v2):
+    """The flash-style custom VJP must reproduce the XLA path's
+    gradients w.r.t. the input windows AND the parameters (qkv/proj
+    weights, logit scale / CPB MLP or bias table) -- shifted blocks so
+    the pattern masks participate."""
+    ws, shift = 8, 4
+    Hp, Wp = 16, 24
+    nW = (Hp // ws) * (Wp // ws)
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(
+        rng.normal(size=(2 * nW, 64, 128)).astype(np.float32))
+    shift_spec = (Hp, Wp, ws, shift, shift)
+
+    xla, fused = _attn_pair(v2)
+    variables = xla.init(jax.random.PRNGKey(6), x, shift_spec)
+
+    def loss(module):
+        def f(params, xin):
+            out = module.apply({'params': params}, xin, shift_spec,
+                               True)  # train=True exercises the VJP
+            return jnp.sum(out * out)
+        return f
+
+    g_ref = jax.grad(loss(xla), argnums=(0, 1))(variables['params'], x)
+    g_got = jax.grad(loss(fused), argnums=(0, 1))(variables['params'], x)
+
+    flat_ref = jax.tree_util.tree_flatten_with_path(g_ref[0])[0]
+    flat_got = jax.tree_util.tree_flatten_with_path(g_got[0])[0]
+    for (path_r, leaf_r), (path_g, leaf_g) in zip(flat_ref, flat_got):
+        assert path_r == path_g
+        np.testing.assert_allclose(
+            np.asarray(leaf_g), np.asarray(leaf_r), rtol=5e-4, atol=5e-4,
+            err_msg=str(path_r))
+    np.testing.assert_allclose(np.asarray(g_got[1]), np.asarray(g_ref[1]),
+                               rtol=5e-4, atol=5e-4, err_msg='d_input')
+
+
+def test_fused_gradients_v1_padded():
+    """Gradients through the token-padded v1 path: pad rows must not
+    leak gradient."""
+    ws = 7
+    rng = np.random.default_rng(29)
+    x = jnp.asarray(rng.normal(size=(4, 49, 64)).astype(np.float32))
+
+    def make(backend):
+        return WindowAttention(dim=64, n_heads=2, window_size=ws,
+                               backend=backend)
+
+    variables = make('xla').init(jax.random.PRNGKey(8), x)
+
+    def f(module):
+        return lambda xin: jnp.sum(
+            module.apply(variables, xin, None, True) ** 2)
+
+    g_ref = jax.grad(f(make('xla')))(x)
+    g_got = jax.grad(f(make('pallas-interpret')))(x)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=5e-4, atol=5e-4)

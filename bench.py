@@ -59,9 +59,18 @@ def run_train_bench(args, model, H, W, n_classes, is_thing, rng):
     )
 
     B = args.batch_size or (2 if args.quick else 48)   # 16->69.8, 32->83.5, 48->93.6, 64->91.6 f/s
+    if getattr(model, 'encoder', None) is not None and \
+            getattr(model.encoder, 'backbone', None) is not None and \
+            getattr(model.encoder.backbone, 'n_input_channels', 3) == 4:
+        # single 4-channel multimodal backbone (swin-multi-*)
+        modalities = {
+            'rgbd': rng.normal(size=(B, H, W, 4)).astype(np.float32)}
+    else:
+        modalities = {
+            'rgb': rng.normal(size=(B, H, W, 3)).astype(np.float32),
+            'depth': rng.normal(size=(B, H, W, 1)).astype(np.float32)}
     batch = {
-        'rgb': rng.normal(size=(B, H, W, 3)).astype(np.float32),
-        'depth': rng.normal(size=(B, H, W, 1)).astype(np.float32),
+        **modalities,
         'semantic': rng.integers(0, n_with_void, (B, H, W)).astype(
             np.int32),
         'instance_center': rng.random((B, H, W)).astype(np.float32),

@@ -177,13 +177,24 @@ class MultiTaskPipeline:
             return outputs, updates.get('batch_stats', {})
         return self.model.apply(variables, inputs, train=False), batch_stats
 
-    @staticmethod
-    def model_inputs(batch):
-        inputs = {}
-        for key in ('rgb', 'depth', 'rgbd'):
-            if key in batch:
-                inputs[key] = batch[key]
-        return inputs
+    def model_inputs(self, batch):
+        """The modality dict the model's encoder expects. A single
+        4-channel multimodal backbone (swin-multi-*) gets 'rgbd',
+        concatenated from rgb+depth if the batch carries them
+        separately (the usual preprocessing output)."""
+        encoder = getattr(self.model, 'encoder', None)
+        backbone = getattr(encoder, 'backbone', None)
+        if backbone is not None:      # single-backbone encoder
+            n_in = getattr(backbone, 'n_input_channels', 3)
+            want = ('rgbd',) if n_in == 4 else \
+                   ('depth',) if n_in == 1 else ('rgb',)
+            if all(k in batch for k in want):
+                return {k: batch[k] for k in want}
+            if n_in == 4 and 'rgb' in batch and 'depth' in batch:
+                return {'rgbd': jnp.concatenate(
+                    [batch['rgb'], batch['depth']], axis=-1)}
+        return {k: batch[k] for k in ('rgb', 'depth', 'rgbd')
+                if k in batch}
 
     # --- training -----------------------------------------------------------
     def compute_losses(self, batch, predictions):

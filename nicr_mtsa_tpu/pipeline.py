@@ -392,12 +392,19 @@ class PanopticInferencePipeline:
         depth_mean: float = 2841.94941272766,    # NYUv2 stats
         depth_std: float = 1417.2594281672277,
         compute_dtype=jnp.bfloat16,
+        extra_output_tasks: tuple = (),
     ) -> None:
+        """extra_output_tasks: additional dense task heads ('normal',
+        'dense_visual_embedding', ...) whose raw main outputs are added
+        to the serving dict as '<task>_output'. Off by default: unused
+        heads are dead code XLA eliminates from the serving program,
+        so requesting them is the only thing that pays for them."""
         self.model = model
         self.post = panoptic_postprocessing
         self._depth_mean = float(depth_mean)
         self._depth_std = float(depth_std)
         self._compute_dtype = compute_dtype
+        self._extra_output_tasks = tuple(extra_output_tasks)
         self._jit_infer = jax.jit(self._infer_impl)
 
     def preprocess(self, rgb_u8, depth_u16):
@@ -457,6 +464,14 @@ class PanopticInferencePipeline:
         }
         if 'scene' in predictions:
             outputs['scene_logits'] = predictions['scene'][0]
+        for task in self._extra_output_tasks:
+            main = predictions[task][0]
+            from .models.upsampling import (
+                DeferredUpsampling, apply_deferred_upsampling,
+            )
+            if isinstance(main, DeferredUpsampling):
+                main = apply_deferred_upsampling(main)
+            outputs[f'{task}_output'] = main
         return outputs
 
     def __call__(self, variables, rgb_u8, depth_u16):

@@ -500,3 +500,51 @@ def test_inference_pipeline_multimodal_rgbd_backbone():
     out = pipe(variables, rgb, depth)
     assert out['panoptic'].shape == (2, Hs, Ws)
     assert np.asarray(out['semantic_idx']).max() < n_classes
+
+
+def test_inference_pipeline_extra_output_tasks():
+    """Serving can opt dense heads (normal / DVE) into the output dict;
+    by default they stay out so XLA dead-code-eliminates them."""
+    from nicr_mtsa_tpu.models.multi_task import (
+        MultiTaskModelConfig, build_model,
+    )
+    from nicr_mtsa_tpu.pipeline import PanopticInferencePipeline
+    from nicr_mtsa_tpu.postprocessing import (
+        InstancePostprocessing, PanopticPostprocessing,
+        SemanticPostprocessing,
+    )
+
+    cfg = MultiTaskModelConfig(
+        tasks=('semantic', 'instance', 'normal',
+               'dense_visual_embedding'),
+        backbone_rgb='resnet18', backbone_depth='resnet18',
+        resnet_block='basicblock', context_n_channels=64,
+        decoder_n_channels=(32, 24, 16), decoder_n_blocks=1,
+        input_size=(64, 96), semantic_n_classes=12, embedding_dim=32)
+    model = build_model(cfg)
+    is_thing = tuple(i < 4 for i in range(12))
+    post = PanopticPostprocessing(
+        semantic_postprocessing=SemanticPostprocessing(),
+        instance_postprocessing=InstancePostprocessing(
+            heatmap_threshold=0.1, heatmap_nms_kernel_size=3,
+            top_k_instances=8),
+        semantic_classes_is_thing=is_thing,
+        semantic_class_has_orientation=is_thing)
+    pipe = PanopticInferencePipeline(
+        model, post,
+        extra_output_tasks=('normal', 'dense_visual_embedding'))
+
+    rng = np.random.default_rng(0)
+    rgb = jnp.asarray(rng.integers(0, 255, (2, 64, 96, 3), dtype=np.uint8))
+    depth = jnp.asarray(
+        rng.integers(0, 2 ** 14, (2, 64, 96), dtype=np.uint16))
+    variables = jax.jit(lambda k: model.init(
+        {'params': k}, pipe.preprocess(rgb, depth), train=False)
+    )(jax.random.PRNGKey(0))
+    out = pipe(variables, rgb, depth)
+    assert out['normal_output'].shape == (2, 64, 96, 3)
+    # normals are unit length (NormalOutputNormalization)
+    norms = np.linalg.norm(np.asarray(
+        out['normal_output'], dtype=np.float32), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=2e-2)
+    assert out['dense_visual_embedding_output'].shape == (2, 64, 96, 32)

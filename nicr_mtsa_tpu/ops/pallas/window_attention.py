@@ -97,8 +97,9 @@ def _make_fwd_kernel(T: int, N: int, C: int, h: int, n_patterns: int,
                 e = jnp.exp(lt - mx)
                 s = jnp.sum(e, axis=0, keepdims=True)
                 prob = (e / s).astype(q2.dtype)
-                # logsumexp residual for the flash backward
-                l_ref[j, p] = (mx + jnp.log(s)).reshape(N2)
+                # logsumexp residual for the flash backward; (1, 2N)
+                # keepdims store (Mosaic dislikes 1D vector stores)
+                l_ref[j, pl.ds(p, 1)] = mx + jnp.log(s)
                 # out (n, d) = sum_m prob[m, n] v2[m, d]
                 pieces.append(jax.lax.dot_general(
                     prob, v2[:, sl], (((0,), (0,)), ((), ())),
@@ -151,7 +152,7 @@ def _make_bwd_kernel(T: int, N: int, C: int, h: int, n_patterns: int,
                     k2[:, sl], q2[:, sl], (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 lt = lt + bias_ref[j] + pm
-                prob32 = jnp.exp(lt - l_ref[j, p][None])     # (m, n)
+                prob32 = jnp.exp(lt - l_ref[j, pl.ds(p, 1)])  # (m, n)
                 prob = prob32.astype(in_dtype)
                 doj = do2[:, sl].astype(in_dtype)
                 # dV (m, d) = sum_n P[m, n] dO[n, d]

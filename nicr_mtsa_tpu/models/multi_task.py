@@ -71,6 +71,9 @@ class MultiTaskModelConfig:
     # images per window-attention chunk in Swin blocks (0 = whole
     # batch); bounds live attention intermediates for big serve batches
     backbone_attn_chunk_size: int = 0
+    # window-attention backend for Swin blocks ('auto' = fused Pallas
+    # kernel on TPU when shapes allow, 'xla', 'pallas-interpret')
+    backbone_attn_backend: str = 'auto'
     # compute
     dtype: Any = jnp.float32
 
@@ -125,6 +128,8 @@ def build_model(config: MultiTaskModelConfig) -> MultiTaskModel:
             kw['remat'] = True
         if c.backbone_attn_chunk_size:
             kw['attn_chunk_size'] = c.backbone_attn_chunk_size
+        if c.backbone_attn_backend != 'auto':
+            kw['attn_backend'] = c.backbone_attn_backend
         return kw
 
     if c.backbone_rgbd is not None:

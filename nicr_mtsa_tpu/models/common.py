@@ -73,12 +73,15 @@ class FusedLayerNorm(nn.Module):
             from ..ops.pallas.layernorm import fused_layer_norm
             return fused_layer_norm(
                 x, scale, bias, eps=self.epsilon,
-                interpret=backend == 'pallas-interpret')
+                interpret=backend == 'pallas-interpret',
+                out_dtype=self.dtype)
         # XLA path: identical math to the kernel (f32 stats + affine,
-        # fast variance, single cast at the end)
+        # clamped fast variance, single cast at the end)
         x32 = x.astype(jnp.float32)
         mean = jnp.mean(x32, axis=-1, keepdims=True)
-        var = jnp.mean(x32 * x32, axis=-1, keepdims=True) - mean * mean
+        var = jnp.maximum(
+            jnp.mean(x32 * x32, axis=-1, keepdims=True) - mean * mean,
+            0.0)
         y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
         return (y * scale + bias).astype(self.dtype)
 

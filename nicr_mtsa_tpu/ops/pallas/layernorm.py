@@ -8,10 +8,10 @@ per row, normalizes and applies the affine, and writes once: two
 passes of HBM traffic total.
 
 Semantics match flax.linen.LayerNorm with use_fast_variance=True
-(f32 statistics, eps inside the rsqrt, affine in f32, output cast to
-the input dtype). Inference-path only -- no VJP is defined; training
-keeps the XLA implementation (models/common.py FusedLayerNorm gates on
-`train`).
+(f32 statistics with the negative-variance clamp, eps inside the
+rsqrt, affine in f32, output cast to `out_dtype`). Inference-path only
+-- no VJP is defined; training keeps the XLA implementation
+(models/common.py FusedLayerNorm gates on `train`).
 """
 from functools import partial
 
@@ -24,20 +24,28 @@ from jax.experimental.pallas import tpu as pltpu
 def _ln_kernel(x_ref, scale_ref, bias_ref, o_ref, *, eps):
     x = x_ref[:].astype(jnp.float32)
     mean = jnp.mean(x, axis=-1, keepdims=True)
-    # fast variance: E[x^2] - E[x]^2 (flax default)
-    var = jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean
+    # fast variance E[x^2] - E[x]^2, clamped at 0 like flax: f32
+    # cancellation on large-magnitude near-constant rows can push it
+    # below -eps and rsqrt(negative) is NaN
+    var = jnp.maximum(
+        jnp.mean(x * x, axis=-1, keepdims=True) - mean * mean, 0.0)
     y = (x - mean) * jax.lax.rsqrt(var + eps)
     y = y * scale_ref[:].astype(jnp.float32) \
         + bias_ref[:].astype(jnp.float32)
     o_ref[:] = y.astype(o_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=('eps', 'block_rows', 'interpret'))
-def fused_layer_norm(x, scale, bias, eps: float = 1e-6,
-                     block_rows: int = 512, interpret: bool = False):
+@partial(jax.jit, static_argnames=('eps', 'block_rows', 'interpret',
+                                   'out_dtype'))
+def fused_layer_norm(x, scale, bias, eps: float = 1e-5,
+                     block_rows: int = 512, interpret: bool = False,
+                     out_dtype=None):
     """LayerNorm over the last axis of `x` (any leading shape).
 
-    scale/bias: (C,) affine parameters (f32 masters fine).
+    scale/bias: (C,) affine parameters (f32 masters fine). eps
+    defaults to torch nn.LayerNorm's 1e-5 (every LN here mirrors a
+    torch one in the reference); FusedLayerNorm passes its own.
+    out_dtype defaults to x.dtype.
     """
     orig_shape = x.shape
     C = orig_shape[-1]
@@ -45,8 +53,13 @@ def fused_layer_norm(x, scale, bias, eps: float = 1e-6,
     for s in orig_shape[:-1]:
         rows *= s
     xr = x.reshape(rows, C)
+    out_dtype = out_dtype or x.dtype
 
-    rb = min(block_rows, rows)
+    # bound the block's VMEM footprint: in+out double-buffered plus
+    # the f32 temporaries is roughly 6 copies of the block; keep the
+    # f32 block at <= ~1 MB so wide-C LNs (4C patch-merge inputs up to
+    # 4096) compile within scoped VMEM
+    rb = min(block_rows, rows, max(8, ((1 << 18) // C) // 8 * 8))
     grid = (pl.cdiv(rows, rb),)
     out = pl.pallas_call(
         partial(_ln_kernel, eps=eps),
@@ -61,7 +74,7 @@ def fused_layer_norm(x, scale, bias, eps: float = 1e-6,
         ],
         out_specs=pl.BlockSpec((rb, C), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, C), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((rows, C), out_dtype),
         interpret=interpret,
     )(xr, scale.reshape(1, C), bias.reshape(1, C))
     return out.reshape(orig_shape)

@@ -50,28 +50,6 @@ def strip_non_arrays(batch):
     return out
 
 
-def cast_float_params(variables, dtype=jnp.bfloat16):
-    """Pre-cast f32 variables (params + batch_stats) to the serving
-    compute dtype ONCE, instead of letting every jitted step stream the
-    f32 masters from HBM and convert on device (profiled at ~290 ms of
-    async weight-copy time per EMSAFormer B64 step; flax modules cast
-    params to `dtype` before compute anyway, so for dtype-following
-    modules the results are bit-identical). Modules that deliberately
-    compute in f32 (Swin's cpb MLP / logit_scale / bias tables) see
-    bf16-rounded weights instead -- a ~1e-3 logit deviation of the same
-    order as the bf16 compute path itself. Serving only; training keeps
-    f32 masters.
-
-    Measured: NO throughput change on EMSAFormer B64 serving (137.1 both
-    ways) -- XLA fully overlaps the f32 weight streaming with compute.
-    Kept for HBM-footprint headroom (halves resident weight bytes)."""
-    def cast(x):
-        if hasattr(x, 'dtype') and x.dtype == jnp.float32:
-            return x.astype(dtype)
-        return x
-    return jax.tree_util.tree_map(cast, variables)
-
-
 def default_postprocessors(
     tasks: Sequence[str],
     semantic_classes_is_thing: Sequence[bool],   # without void

@@ -424,12 +424,12 @@ class TestFusedLayerNorm:
     """ops/pallas/layernorm.py vs the identically-specified XLA math
     (models/common.py FusedLayerNorm 'xla' backend)."""
 
-    def _xla_ln(self, x, scale, bias, eps=1e-6):
-        x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=-1, keepdims=True)
-        var = jnp.mean(x32 * x32, axis=-1, keepdims=True) - mean * mean
-        y = (x32 - mean) * jax.lax.rsqrt(var + eps)
-        return (y * scale + bias).astype(x.dtype)
+    def _xla_ln(self, x, scale, bias):
+        # the module's own XLA path is the semantic twin -- no third
+        # reimplementation that can drift (eps, variance clamp)
+        from nicr_mtsa_tpu.models.common import FusedLayerNorm
+        ln = FusedLayerNorm(backend='xla', dtype=x.dtype)
+        return ln.apply({'params': {'scale': scale, 'bias': bias}}, x)
 
     @pytest.mark.parametrize('dtype', [np.float32, jnp.bfloat16])
     def test_matches_xla_math(self, dtype):

@@ -204,3 +204,73 @@ def test_merge_implementations_agree_on_gt():
         n_classes_with_void=N_CLASSES_WITH_VOID)
     np.testing.assert_array_equal(
         np.asarray(device.panoptic), batch['panoptic'].astype(np.int64))
+
+
+def test_gt_roundtrip_zero_instances():
+    """All-stuff scene: the fixed-shape path (K=64 padded center
+    tables, segment tables) must flow through NMS -> grouping ->
+    merge -> PQ with ZERO valid instances and still score PQ = 1.0
+    on the stuff classes."""
+    inst_gen = InstanceTargetGenerator(
+        sigma=SIGMA, semantic_classes_is_thing=IS_THING_WITH_VOID,
+        normalized_offset=True)
+    pan_gen = PanopticTargetGenerator(
+        semantic_classes_is_thing=IS_THING_WITH_VOID)
+
+    samples = []
+    for b in range(2):
+        semantic = np.full((H, W), 4, dtype='uint16')
+        semantic[-20:, :] = 5
+        semantic[:, :8] = 0                      # void stripe
+        instance = np.zeros((H, W), dtype='uint16')
+        sample = {
+            'semantic': semantic, 'instance': instance,
+            'semantic_fullres': semantic.copy(),
+            'instance_fullres': instance.copy(),
+            APPLIED_PREPROCESSING_KEY: AppliedPreprocessingMeta([
+                PreprocessingParameterDict(
+                    type='Resize',
+                    valid_region_slice_y=slice(0, H),
+                    valid_region_slice_x=slice(0, W)),
+            ]),
+        }
+        samples.append(pan_gen(inst_gen(sample)))
+    batch = mt_collate(samples)
+
+    logits, center, offset = _ideal_network_outputs(batch)
+    assert float(batch['instance_center'].max()) == 0.0
+
+    post = PanopticPostprocessing(
+        semantic_postprocessing=SemanticPostprocessing(),
+        instance_postprocessing=InstancePostprocessing(
+            heatmap_threshold=0.1, heatmap_nms_kernel_size=3,
+            top_k_instances=64),
+        semantic_classes_is_thing=IS_THING_WITHOUT_VOID,
+        semantic_class_has_orientation=IS_THING_WITHOUT_VOID,
+    )
+    jbatch = {
+        'instance_foreground': jnp.asarray(batch['instance_foreground']),
+        APPLIED_PREPROCESSING_KEY: batch[APPLIED_PREPROCESSING_KEY],
+        'instance_fullres': batch['instance_fullres'],
+        'semantic_fullres': batch['semantic_fullres'],
+    }
+    r_dict = post.postprocess(
+        ((logits, (center, offset)), ((), ())), jbatch,
+        is_training=False)
+
+    inst_map = np.asarray(
+        r_dict['panoptic_segmentation_deeplab_instance_idx'])
+    assert (inst_map == 0).all()        # no thing segments anywhere
+
+    pq = PanopticQuality(
+        num_categories=N_CLASSES_WITH_VOID, ignored_label=0,
+        max_instances_per_category=M, is_thing=IS_THING_WITH_VOID,
+        gt_table_size=64, pred_table_size=128)
+    pq.update(
+        r_dict['panoptic_segmentation_deeplab'],
+        jnp.asarray(batch['panoptic'].astype(np.int32)),
+        gt_table=jnp.asarray(batch['panoptic_segment_table']))
+    results = pq.compute()
+    assert results['all_pq'] == pytest.approx(1.0)
+    assert results['stuff_pq'] == pytest.approx(1.0)
+    assert np.isnan(results['things_pq']) or results['things_pq'] == 0.0

@@ -424,16 +424,34 @@ def main():
         # measured throughput sweet spot (see PERF.md)
         sizes = [256]
 
-    best = 0.0
-    for bs in sizes:
+    def measure_all():
+        best = 0.0
+        for bs in sizes:
+            try:
+                fps = run(bs, iters)
+            except Exception as e:  # OOM at large batch etc.
+                print(f'# batch {bs} failed: {type(e).__name__}: {e}',
+                      file=sys.stderr)
+                continue
+            print(f'# batch {bs}: {fps:.1f} frames/s', file=sys.stderr)
+            best = max(best, fps)
+        return best
+
+    best = measure_all()
+    if best == 0.0 and not args.cpu:
+        # a freshly-restarted TPU worker can fail the first program
+        # transiently; re-probe the chip with a trivial op and retry
+        # once rather than reporting 0
+        print('# all sizes failed; re-probing chip and retrying once',
+              file=sys.stderr)
+        time.sleep(30)
         try:
-            fps = run(bs, iters)
-        except Exception as e:  # OOM at large batch etc.
-            print(f'# batch {bs} failed: {type(e).__name__}: {e}',
+            jax.block_until_ready(jnp.ones((8, 8)).sum())
+        except Exception as e:
+            print(f'# chip probe failed: {type(e).__name__}: {e}',
                   file=sys.stderr)
-            continue
-        print(f'# batch {bs}: {fps:.1f} frames/s', file=sys.stderr)
-        best = max(best, fps)
+        else:
+            best = measure_all()
 
     result = {
         'metric': 'panoptic_inference_frames_per_sec_per_chip_640x480'

@@ -59,7 +59,9 @@ def main():
         SemanticTaskHelper,
     )
     from nicr_mtsa_tpu.testing.dataset import get_dataset
-    from nicr_mtsa_tpu.utils import CheckpointHelper, CSVLogger
+    from nicr_mtsa_tpu.utils import (
+        CheckpointHelper, CSVLogger, cprint, cprint_step,
+    )
     from nicr_mtsa_tpu.weighting import DynamicWeightAverage
 
     H, W = args.size
@@ -162,7 +164,7 @@ def main():
         })
         to_save = ckpt_helper.check_for_checkpoint(logs)
         logger.log(logs)
-        print(f"epoch {epoch}: loss={train_loss:.3f} "
+        cprint_step(f"epoch {epoch}: loss={train_loss:.3f} "
               f"miou={logs.get('valid_semantic_miou', float('nan')):.3f} "
               f"pq={logs.get('valid_panoptic_all_deeplab_pq', float('nan')):.3f} "
               f"dwa={ {k: round(v, 2) for k, v in pipeline.loss_weighting.weights.items()} }")
@@ -173,7 +175,8 @@ def main():
                 state,
                 extra={'epoch': epoch,
                        'dwa': pipeline.loss_weighting.state_dict()})
-            print(f'  checkpoint -> {path} ({sorted(to_save)})')
+            cprint(f'  checkpoint -> {path} ({sorted(to_save)})',
+                   color='green')
 
     logger.write()
     print('done; log at', os.path.join(args.out, 'log.csv'))

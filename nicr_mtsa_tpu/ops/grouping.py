@@ -116,7 +116,8 @@ def instance_areas(segmentation: jnp.ndarray, top_k: int) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=(
-    'threshold', 'kernel_size', 'top_k', 'heatmap_apply_foreground_mask'))
+    'threshold', 'kernel_size', 'top_k', 'offset_distance_threshold',
+    'heatmap_apply_foreground_mask'))
 def get_instance_segmentation(
     center_heatmap: jnp.ndarray,      # (B, H, W[, 1])
     center_offset: jnp.ndarray,       # (B, H, W, 2), unnormalized (pixels)

@@ -184,6 +184,124 @@ def test_grouping_golden(seed, offset_thr):
 
 
 # --------------------------------------------------------------------------
+# semantic / DVE inference postprocessing (incl. valid-region + fullres)
+# --------------------------------------------------------------------------
+
+def _ref_postproc_class(name, cls):
+    _ref_instance_postprocessing(top_k_instances=4)   # primes the pkg chain
+    return getattr(ref_import(f'model.postprocessing.{name}'), cls)
+
+
+def _paired_batches(B, H0, W0, sy, sx):
+    """(our NHWC numpy batch, ref NCHW torch batch) with identical
+    Resize provenance meta and a fullres rgb shape anchor."""
+    meta = [[{'type': 'Resize',
+              'valid_region_slice_y': sy,
+              'valid_region_slice_x': sx}] for _ in range(B)]
+    mine = {'rgb_fullres': np.zeros((B, H0, W0, 3), np.uint8),
+            '_applied_preprocessing': meta}
+    ref = {'rgb_fullres': torch.zeros((B, 3, H0, W0)),
+           '_applied_preprocessing': meta}
+    return mine, ref
+
+
+@pytest.mark.parametrize('seed', [0, 1])
+def test_semantic_postproc_inference_golden(seed):
+    """Full _postprocess_inference key-for-key vs the reference:
+    softmax/score/idx plus the valid-region crop + fullres bilinear
+    resize chain."""
+    from nicr_mtsa_tpu.postprocessing import SemanticPostprocessing
+
+    RefSemantic = _ref_postproc_class('semantic', 'SemanticPostprocessing')
+    B, h, w, C, H0, W0 = 2, 24, 32, 12, 40, 56
+    sy, sx = slice(0, 20), slice(0, w)       # aspect-ratio padding rows
+    rng = np.random.default_rng(seed)
+    logits = rng.normal(0, 3, size=(B, h, w, C)).astype(np.float32)
+    mine_batch, ref_batch = _paired_batches(B, H0, W0, sy, sx)
+
+    ref_out = RefSemantic()._postprocess_inference(
+        (_t(logits.transpose(0, 3, 1, 2)), None), ref_batch)
+    my_out = SemanticPostprocessing()._postprocess_inference(
+        (logits, None), mine_batch)
+
+    for key, chan_last, exact in (
+            ('semantic_softmax_scores', True, False),
+            ('semantic_segmentation_score', False, False),
+            ('semantic_segmentation_idx', False, True),
+            ('semantic_output_fullres', True, False),
+            ('semantic_softmax_scores_fullres', True, False),
+            ('semantic_segmentation_score_fullres', False, False),
+            ('semantic_segmentation_idx_fullres', False, True)):
+        ref_v = ref_out[key].numpy()
+        if chan_last:
+            ref_v = ref_v.transpose(0, 2, 3, 1)
+        mine = np.asarray(my_out[key])
+        if exact:
+            np.testing.assert_array_equal(mine, ref_v, err_msg=key)
+        else:
+            np.testing.assert_allclose(mine, ref_v, atol=2e-5,
+                                       err_msg=key)
+
+
+@pytest.mark.parametrize('seed', [0])
+def test_dve_postproc_inference_golden(seed):
+    """DVE retrieval postprocessing vs the reference: L2 normalize,
+    cosine-similarity logits against text AND visual-mean class
+    embeddings, softmax/score/idx, and the fullres chain."""
+    from nicr_mtsa_tpu.postprocessing import (
+        DenseVisualEmbeddingPostprocessing,
+    )
+
+    RefDVE = _ref_postproc_class(
+        'dense_visual_embedding', 'DenseVisualEmbeddingPostprocessing')
+    B, h, w, D, C, H0, W0 = 2, 24, 32, 16, 10, 40, 56
+    sy, sx = slice(0, 20), slice(0, w)
+    rng = np.random.default_rng(seed)
+    emb = rng.normal(size=(B, h, w, D)).astype(np.float32)
+    text = rng.normal(size=(C, D)).astype(np.float32)
+    text /= np.linalg.norm(text, axis=1, keepdims=True)
+    vis = rng.normal(size=(C, D)).astype(np.float32)
+    vis /= np.linalg.norm(vis, axis=1, keepdims=True)
+    mine_batch, ref_batch = _paired_batches(B, H0, W0, sy, sx)
+
+    ref_out = RefDVE(
+        with_text_embeddings_per_class=True,
+        text_embeddings_per_class=_t(text),
+        with_mean_visual_embedding_per_class=True,
+        mean_visual_embedding_per_class=_t(vis),
+    )._postprocess_inference(
+        (_t(emb.transpose(0, 3, 1, 2)).clone(), None), ref_batch)
+    my_out = DenseVisualEmbeddingPostprocessing(
+        with_text_embeddings_per_class=True,
+        text_embeddings_per_class=text,
+        with_mean_visual_embedding_per_class=True,
+        mean_visual_embedding_per_class=vis,
+    )._postprocess_inference((emb, None), mine_batch)
+
+    for prefix in ('dense_visual_embedding_text_based_semantic',
+                   'dense_visual_embedding_visual_mean_based_semantic'):
+        for suffix, chan_last, exact in (
+                ('_output', True, False),
+                ('_softmax_scores', True, False),
+                ('_score', False, False),
+                ('_idx', False, True),
+                ('_output_fullres', True, False),
+                ('_softmax_scores_fullres', True, False),
+                ('_score_fullres', False, False),
+                ('_idx_fullres', False, True)):
+            key = prefix + suffix
+            ref_v = ref_out[key].numpy()
+            if chan_last:
+                ref_v = ref_v.transpose(0, 2, 3, 1)
+            mine = np.asarray(my_out[key])
+            if exact:
+                np.testing.assert_array_equal(mine, ref_v, err_msg=key)
+            else:
+                np.testing.assert_allclose(mine, ref_v, atol=2e-5,
+                                           err_msg=key)
+
+
+# --------------------------------------------------------------------------
 # orientation readout
 # --------------------------------------------------------------------------
 

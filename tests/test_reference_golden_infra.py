@@ -1,0 +1,228 @@
+"""Golden tests for metrics (mIoU / RMSE / angular error), DWA loss
+weighting, the CSV logger, and the checkpoint policy against the
+actual reference implementation. Completes the direct-golden coverage
+of SURVEY §2.5/§2.6 (losses/merge/PQ live in
+tests/test_reference_golden.py, postprocessing and preprocessing in
+their sibling files).
+"""
+import csv
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip('torch')
+
+from test_reference_golden import (                # noqa: E402
+    _PKG, REF_ROOT, _ensure_ref_package, ref_import, _t,
+)
+
+
+def _ref_import(dotted):
+    """ref_import + the extra package/stub registrations this file's
+    modules need (loss_weighting package, external dataset stub for
+    metric.mae)."""
+    import sys
+    import types as pytypes
+    _ensure_ref_package()
+    name = f'{_PKG}.loss_weighting'
+    if name not in sys.modules:
+        mod = pytypes.ModuleType(name)
+        mod.__path__ = [f'{REF_ROOT}/loss_weighting']
+        sys.modules[name] = mod
+    if 'nicr_scene_analysis_datasets' not in sys.modules:
+        stub = pytypes.ModuleType('nicr_scene_analysis_datasets')
+        stub.__path__ = []
+        stub.OrientationDict = dict
+        sys.modules['nicr_scene_analysis_datasets'] = stub
+        base = pytypes.ModuleType(
+            'nicr_scene_analysis_datasets.dataset_base')
+        base.OrientationDict = dict
+        sys.modules['nicr_scene_analysis_datasets.dataset_base'] = base
+    return ref_import(dotted)
+
+
+# --------------------------------------------------------------------------
+# metrics
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize('ignore_first_class', [False, True])
+@pytest.mark.parametrize('seed', [0, 1])
+def test_miou_golden(ignore_first_class, seed):
+    ref_mod = _ref_import('metric.miou')
+    from nicr_mtsa_tpu.metrics.miou import MeanIntersectionOverUnion
+
+    C = 9
+    rng = np.random.default_rng(seed)
+    ref_m = ref_mod.MeanIntersectionOverUnion(
+        n_classes=C, ignore_first_class=ignore_first_class)
+    mine = MeanIntersectionOverUnion(
+        n_classes=C, ignore_first_class=ignore_first_class)
+    state = mine.empty_state()
+    for _ in range(3):
+        # leave some classes without GT pixels (the nan/per-class path)
+        target = rng.integers(0, C - 2, size=(2, 24, 32))
+        preds = rng.integers(0, C, size=(2, 24, 32))
+        ref_m.update(_t(preds), _t(target))
+        state = mine.update_state(state, preds, target)
+
+    ref_miou, ref_ious = ref_m.compute(return_ious=True)
+    my_miou, my_ious = mine.compute_from_state(state, return_ious=True)
+    np.testing.assert_allclose(float(my_miou), float(ref_miou),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(my_ious),
+                               ref_ious.numpy(), rtol=1e-6)
+
+
+@pytest.mark.parametrize('with_mask', [False, True])
+def test_rmse_golden(with_mask):
+    ref_mod = _ref_import('metric.rmse')
+    from nicr_mtsa_tpu.metrics.rmse import RootMeanSquaredError
+
+    rng = np.random.default_rng(0)
+    ref_m = ref_mod.RootMeanSquaredError()
+    mine = RootMeanSquaredError()
+    state = mine.empty_state()
+    for _ in range(3):
+        preds = rng.normal(size=(2, 16, 20, 3)).astype(np.float32)
+        target = rng.normal(size=(2, 16, 20, 3)).astype(np.float32)
+        mask = (rng.random((2, 16, 20)) > 0.3) if with_mask else None
+        ref_m.update(_t(preds.transpose(0, 3, 1, 2)),
+                     _t(target.transpose(0, 3, 1, 2)),
+                     _t(mask) if with_mask else None)
+        state = mine.update_state(state, preds, target, mask)
+
+    # NOTE: the reference accumulates sqrt(MSE) per pixel then averages
+    # (mean of per-pixel RMS over channels); ours matches that formula
+    np.testing.assert_allclose(float(mine.compute_from_state(state)),
+                               float(ref_m.compute()), rtol=1e-5)
+
+
+def test_abs_angle_error_golden():
+    ref_mod = _ref_import('metric.mae')
+    from nicr_mtsa_tpu.metrics.mae import abs_angle_error_rad
+
+    rng = np.random.default_rng(0)
+    pred = rng.uniform(-10, 10, size=(256,))
+    target = rng.uniform(-10, 10, size=(256,))
+    ref_err = torch.abs(
+        ref_mod.abs_angle_error_rad(_t(pred), _t(target)))
+    np.testing.assert_allclose(
+        np.asarray(abs_angle_error_rad(pred, target)),
+        ref_err.numpy(), atol=1e-6)
+
+
+# --------------------------------------------------------------------------
+# DWA loss weighting
+# --------------------------------------------------------------------------
+
+def test_dwa_weights_golden():
+    """Identical 3-epoch loss trajectories must yield identical
+    per-epoch weights (softmax of the t-1/t-2 loss ratios)."""
+    ref_mod = _ref_import('loss_weighting.dwa')
+    from nicr_mtsa_tpu.weighting import DynamicWeightAverage
+
+    keys = ('a_loss', 'b_loss', 'c_loss')
+    ref_w = ref_mod.DynamicWeightAverage(
+        loss_keys_to_consider=keys, temperature=2.0)
+    mine = DynamicWeightAverage(
+        loss_keys_to_consider=keys, temperature=2.0)
+
+    rng = np.random.default_rng(0)
+    steps_per_epoch = 4
+    for epoch in range(3):
+        for batch_idx in range(steps_per_epoch):
+            losses = {k: float(rng.uniform(0.1, 3.0) / (epoch + 1))
+                      for k in keys}
+            ref_total = ref_w.reduce_losses(
+                {k: torch.tensor(v) for k, v in losses.items()},
+                batch_idx)
+            my_total = mine.reduce_losses(dict(losses), batch_idx)
+            np.testing.assert_allclose(float(my_total),
+                                       float(ref_total), rtol=1e-6)
+            for k in keys:
+                np.testing.assert_allclose(mine.weights[k],
+                                           ref_w.weights[k], rtol=1e-6)
+
+
+# --------------------------------------------------------------------------
+# CSV logger
+# --------------------------------------------------------------------------
+
+def test_csv_logger_golden(tmp_path):
+    """Same log sequence (including a changing key set and a resume)
+    must produce a CSV with the same parsed contents."""
+    ref_mod = _ref_import('logging')
+    from nicr_mtsa_tpu.utils import CSVLogger
+
+    logs = [
+        {'epoch': 0, 'loss': 1.5},
+        {'epoch': 1, 'loss': 1.1, 'miou': 0.4},
+        {'epoch': 2, 'loss': 0.9, 'miou': 0.5, 'pq': 0.2},
+    ]
+    ref_path, my_path = tmp_path / 'ref.csv', tmp_path / 'mine.csv'
+
+    ref_logger = ref_mod.CSVLogger(str(ref_path))
+    mine = CSVLogger(str(my_path))
+    for row in logs:
+        ref_logger.log(dict(row))
+        mine.log(dict(row))
+    ref_logger.write()
+    mine.write()
+
+    # resume: both re-read their files and append one more row
+    ref_logger2 = ref_mod.CSVLogger(str(ref_path))
+    mine2 = CSVLogger(str(my_path))
+    ref_logger2.log({'epoch': 3, 'loss': 0.8})
+    mine2.log({'epoch': 3, 'loss': 0.8})
+    ref_logger2.write()
+    mine2.write()
+
+    def parse(path):
+        with open(path) as f:
+            return [dict(r) for r in csv.DictReader(f)]
+
+    ref_rows, my_rows = parse(ref_path), parse(my_path)
+    assert len(my_rows) == len(ref_rows) == 4
+    for mine_r, ref_r in zip(my_rows, ref_rows):
+        assert set(mine_r) == set(ref_r)
+        for k in ref_r:
+            if ref_r[k] in ('', None) or mine_r[k] in ('', None):
+                assert (mine_r[k] or '') == (ref_r[k] or ''), k
+            else:
+                np.testing.assert_allclose(float(mine_r[k]),
+                                           float(ref_r[k]), err_msg=k)
+
+
+# --------------------------------------------------------------------------
+# checkpoint policy
+# --------------------------------------------------------------------------
+
+def test_checkpoint_helper_golden():
+    """Same metric shorthands + log sequences must produce the same
+    lazy key matching, checkpoint decisions, and ckpt_* log keys."""
+    ref_mod = _ref_import('checkpointing')
+    from nicr_mtsa_tpu.utils import CheckpointHelper
+
+    names = ('miou', 'rmse', 'miou+bacc')
+    ref_h = ref_mod.CheckpointHelper(metric_names=names, debug=False)
+    mine = CheckpointHelper(metric_names=names, debug=False)
+
+    sequences = [
+        {'valid_semantic_miou': 0.40, 'valid_normal_rmse': 0.90,
+         'valid_scene_bacc': 0.50, 'train_loss': 2.0},
+        {'valid_semantic_miou': 0.45, 'valid_normal_rmse': 0.95,
+         'valid_scene_bacc': 0.48, 'train_loss': 1.5},
+        {'valid_semantic_miou': 0.44, 'valid_normal_rmse': 0.80,
+         'valid_scene_bacc': 0.60, 'train_loss': 1.2},
+    ]
+    for logs in sequences:
+        ref_logs, my_logs = dict(logs), dict(logs)
+        ref_decision = ref_h.check_for_checkpoint(ref_logs)
+        my_decision = mine.check_for_checkpoint(my_logs)
+        assert my_decision == ref_decision
+        assert set(my_logs) == set(ref_logs)
+        for k in ref_logs:
+            np.testing.assert_allclose(float(my_logs[k]),
+                                       float(ref_logs[k]), err_msg=k)
+
+    assert mine.metric_mapping_joined == ref_h.metric_mapping_joined

@@ -301,6 +301,102 @@ def test_dve_postproc_inference_golden(seed):
                                            err_msg=key)
 
 
+def test_collate_golden():
+    """mt_collate structure/value equivalence with the reference
+    collate (which operates on torch tensors; ours is the numpy
+    equivalent): same-shape entries stack, ragged entries and
+    CollateIgnoredDict stay lists, nested dicts recurse, scalars
+    become (B,) arrays."""
+    import sys
+    from test_reference_golden import _PKG
+    from test_reference_golden_preproc import _ref_preproc
+    # any preprocessing load executes the real data package __init__
+    _ref_preproc('semantic', 'SemanticClassMapper',
+                 classes_to_map=(), new_label=0)
+    ref_data = sys.modules[f'{_PKG}.data']
+    from nicr_mtsa_tpu.data import mt_collate
+    from nicr_mtsa_tpu.data._types import CollateIgnoredDict
+
+    rng = np.random.default_rng(0)
+    dense = [rng.normal(size=(4, 5)).astype(np.float32)
+             for _ in range(3)]
+    ragged = [rng.normal(size=(k + 2, 3)).astype(np.float32)
+              for k in range(3)]
+
+    my_samples, ref_samples = [], []
+    for i in range(3):
+        my_samples.append({
+            'dense': dense[i], 'ragged': ragged[i], 'scalar': i,
+            'ignored': CollateIgnoredDict({i: i * 2}),
+            'nested': {'dense': dense[i] * 2},
+        })
+        ref_samples.append({
+            'dense': _t(dense[i]), 'ragged': _t(ragged[i]), 'scalar': i,
+            'ignored': ref_data.CollateIgnoredDict({i: i * 2}),
+            'nested': {'dense': _t(dense[i] * 2)},
+        })
+
+    mine = mt_collate(my_samples)
+    ref = ref_data.mt_collate(ref_samples)
+
+    np.testing.assert_array_equal(np.asarray(mine['dense']),
+                                  ref['dense'].numpy())
+    np.testing.assert_array_equal(np.asarray(mine['nested']['dense']),
+                                  ref['nested']['dense'].numpy())
+    np.testing.assert_array_equal(np.asarray(mine['scalar']),
+                                  np.asarray(ref['scalar']))
+    assert isinstance(mine['ragged'], list) \
+        and isinstance(ref['ragged'], list)
+    for m, r in zip(mine['ragged'], ref['ragged']):
+        np.testing.assert_array_equal(np.asarray(m), r.numpy())
+    assert isinstance(mine['ignored'], list) \
+        and isinstance(ref['ignored'], list)
+    assert [dict(d) for d in mine['ignored']] \
+        == [dict(d) for d in ref['ignored']]
+
+
+def test_scene_postproc_inference_golden():
+    from nicr_mtsa_tpu.postprocessing import ScenePostprocessing
+
+    RefScene = _ref_postproc_class('scene', 'ScenePostprocessing')
+    rng = np.random.default_rng(0)
+    logits = rng.normal(0, 3, size=(4, 10)).astype(np.float32)
+
+    ref_out = RefScene()._postprocess_inference((_t(logits), None), {})
+    my_out = ScenePostprocessing()._postprocess_inference(
+        (logits, None), {})
+    np.testing.assert_array_equal(
+        np.asarray(my_out['scene_class_idx']),
+        ref_out['scene_class_idx'].numpy())
+    np.testing.assert_allclose(
+        np.asarray(my_out['scene_class_score']),
+        ref_out['scene_class_score'].numpy(), atol=1e-6)
+
+
+def test_normal_postproc_inference_golden():
+    """Nearest fullres resize index mapping must match torch's
+    floor(dst*in/out) exactly."""
+    from nicr_mtsa_tpu.postprocessing import NormalPostprocessing
+
+    RefNormal = _ref_postproc_class('normal', 'NormalPostprocessing')
+    B, h, w, H0, W0 = 2, 24, 32, 40, 56
+    sy, sx = slice(0, 20), slice(0, w)
+    rng = np.random.default_rng(0)
+    normals = rng.normal(size=(B, h, w, 3)).astype(np.float32)
+    normals /= np.linalg.norm(normals, axis=-1, keepdims=True)
+    mine_batch, ref_batch = _paired_batches(B, H0, W0, sy, sx)
+    # the fullres shape anchor for 'normal' falls back to rgb_fullres
+
+    ref_out = RefNormal()._postprocess_inference(
+        (_t(normals.transpose(0, 3, 1, 2)), None), ref_batch)
+    my_out = NormalPostprocessing()._postprocess_inference(
+        (normals, None), mine_batch)
+    np.testing.assert_allclose(
+        np.asarray(my_out['normal_output_fullres']),
+        ref_out['normal_output_fullres'].numpy().transpose(0, 2, 3, 1),
+        atol=1e-6)
+
+
 # --------------------------------------------------------------------------
 # orientation readout
 # --------------------------------------------------------------------------

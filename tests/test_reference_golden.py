@@ -35,7 +35,16 @@ def _ensure_stub_torchmetrics():
             pass
 
         def add_state(self, name, default, dist_reduce_fx=None):
-            setattr(self, name, default)
+            defaults = self.__dict__.setdefault('_state_defaults', {})
+            defaults[name] = default
+            setattr(self, name, default.clone()
+                    if hasattr(default, 'clone') else default)
+
+        def reset(self):
+            for name, default in getattr(self, '_state_defaults',
+                                         {}).items():
+                setattr(self, name, default.clone()
+                        if hasattr(default, 'clone') else default)
 
     stub.Metric = Metric
     sys.modules['torchmetrics'] = stub

@@ -33,6 +33,7 @@ def _ref_import(dotted):
         stub = pytypes.ModuleType('nicr_scene_analysis_datasets')
         stub.__path__ = []
         stub.OrientationDict = dict
+        stub.ConcatDataset = torch.utils.data.ConcatDataset
         sys.modules['nicr_scene_analysis_datasets'] = stub
         base = pytypes.ModuleType(
             'nicr_scene_analysis_datasets.dataset_base')
@@ -226,3 +227,84 @@ def test_checkpoint_helper_golden():
                                        float(ref_logs[k]), err_msg=k)
 
     assert mine.metric_mapping_joined == ref_h.metric_mapping_joined
+
+
+# --------------------------------------------------------------------------
+# task-helper loss collection
+# --------------------------------------------------------------------------
+
+def _ref_semantic_task_helper(**kwargs):
+    """Reference SemanticTaskHelper with executed loss/metric/
+    visualization packages (the bare path stubs lack attributes)."""
+    import sys
+    from test_reference_golden_postproc import _exec_package_init
+    _ref_import('metric.mae')          # installs the dataset stub
+    for pkg in ('utils', 'loss', 'metric', 'visualization', 'data'):
+        name = f'{_PKG}.{pkg}'
+        if not getattr(sys.modules.get(name), '__file__', None):
+            keep = {k: v for k, v in sys.modules.items()
+                    if k.startswith(f'{name}.')}
+            _exec_package_init(name, f'{REF_ROOT}/{pkg}')
+            sys.modules.update(keep)
+    import types as pytypes
+    # data.preprocessing stays a bare path package: its real __init__
+    # imports torchvision (not installed); leaves load fine on demand
+    for name, sub in (('task_helper', 'task_helper'),
+                      ('data.preprocessing', 'data/preprocessing')):
+        full = f'{_PKG}.{name}'
+        if full not in sys.modules:
+            mod = pytypes.ModuleType(full)
+            mod.__path__ = [f'{REF_ROOT}/{sub}']
+            sys.modules[full] = mod
+    mod = ref_import('task_helper.semantic')
+    helper = mod.SemanticTaskHelper(**kwargs)
+    helper.initialize(torch.device('cpu'))
+    return helper
+
+
+@pytest.mark.parametrize('with_weights', [False, True])
+def test_semantic_task_helper_losses_golden(with_weights):
+    """training_step loss collection: side-output downscale inference
+    from width ratios, per-scale CE, the sum/n per-key losses, and the
+    total-loss accumulation must match the reference exactly."""
+    from nicr_mtsa_tpu.tasks import SemanticTaskHelper
+
+    C, B, h, w = 6, 2, 32, 48
+    rng = np.random.default_rng(0)
+    weights = (rng.uniform(0.5, 2.0, size=C).astype(np.float32)
+               if with_weights else None)
+
+    ref_h = _ref_semantic_task_helper(
+        n_classes=C, class_weights=weights)
+    mine = SemanticTaskHelper(n_classes=C, class_weights=weights)
+    mine.initialize()
+
+    logits = {ds: rng.normal(0, 2, size=(
+        B, h // ds, w // ds, C)).astype(np.float32) for ds in (1, 4, 8)}
+    targets = {ds: rng.integers(0, C + 1, size=(
+        B, h // ds, w // ds)).astype(np.int64) for ds in (1, 4, 8)}
+
+    ref_batch = {'semantic': _t(targets[1]),
+                 '_down_4': {'semantic': _t(targets[4])},
+                 '_down_8': {'semantic': _t(targets[8])}}
+    ref_preds = {
+        'semantic_output': _t(logits[1].transpose(0, 3, 1, 2)),
+        'semantic_side_outputs': (
+            _t(logits[8].transpose(0, 3, 1, 2)),
+            _t(logits[4].transpose(0, 3, 1, 2))),
+    }
+    ref_losses, _ = ref_h.training_step(ref_batch, 0, ref_preds)
+
+    my_batch = {'semantic': targets[1],
+                '_down_4': {'semantic': targets[4]},
+                '_down_8': {'semantic': targets[8]}}
+    my_preds = {'semantic_output': logits[1],
+                'semantic_side_outputs': (logits[8], logits[4])}
+    my_losses, _ = mine.training_step(my_batch, 0, my_preds)
+
+    assert set(my_losses) == set(ref_losses), (
+        sorted(my_losses), sorted(ref_losses))
+    for key in ref_losses:
+        np.testing.assert_allclose(
+            float(np.asarray(my_losses[key])),
+            float(ref_losses[key]), rtol=1e-5, err_msg=key)

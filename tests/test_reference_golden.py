@@ -46,7 +46,40 @@ def _ensure_stub_torchmetrics():
                 setattr(self, name, default.clone()
                         if hasattr(default, 'clone') else default)
 
+        def to(self, device):
+            return self
+
     stub.Metric = Metric
+
+    class ConfusionMatrix(Metric):
+        """Minimal stand-in (int64 confmat, bincount update) for the
+        scene helper; loss goldens never read it, the reference only
+        needs construction + reset to succeed."""
+
+        def __init__(self, num_classes, **kwargs):
+            import torch as _torch
+            self._num_classes = num_classes
+            self._defaults = {'confmat': _torch.zeros(
+                (num_classes, num_classes), dtype=_torch.int64)}
+            self.confmat = self._defaults['confmat'].clone()
+
+        def reset(self):
+            self.confmat = self._defaults['confmat'].clone()
+
+        def update(self, preds, target):
+            import torch as _torch
+            idx = target.reshape(-1) * self._num_classes + preds.reshape(-1)
+            cnts = _torch.bincount(idx, minlength=self._num_classes ** 2)
+            self.confmat += cnts.reshape(self._num_classes,
+                                         self._num_classes)
+
+        def compute(self):
+            return self.confmat
+
+        def __call__(self, preds, target):
+            self.update(preds, target)
+
+    stub.ConfusionMatrix = ConfusionMatrix
     sys.modules['torchmetrics'] = stub
 
 

@@ -308,3 +308,223 @@ def test_semantic_task_helper_losses_golden(with_weights):
         np.testing.assert_allclose(
             float(np.asarray(my_losses[key])),
             float(ref_losses[key]), rtol=1e-5, err_msg=key)
+
+
+@pytest.mark.parametrize('center_loss', ['mse', 'l1'])
+def test_instance_task_helper_losses_golden(center_loss):
+    """Instance-branch loss collection: center MSE/L1 under the
+    center mask (mask-by-zeroing + valid-pixel counts), offset L1
+    under the foreground mask, and von Mises orientation on masked
+    (N, 2) pixels -- per-key values and the three totals must match
+    the reference."""
+    from nicr_mtsa_tpu.tasks import InstanceTaskHelper
+
+    import sys
+    from test_reference_golden_postproc import _exec_package_init
+    _ref_semantic_task_helper(n_classes=4)    # primes packages
+    ref_mod = ref_import('task_helper.instance')
+    is_thing = (False, False, True, True)
+    ref_h = ref_mod.InstanceTaskHelper(
+        semantic_n_classes=4, semantic_classes_is_thing=is_thing,
+        loss_name_instance_center=center_loss)
+    ref_h.initialize(torch.device('cpu'))
+    mine = InstanceTaskHelper(
+        semantic_n_classes=4, semantic_classes_is_thing=is_thing,
+        loss_name_instance_center=center_loss, top_k_instances=8)
+    mine.initialize()
+
+    B, h, w = 2, 32, 48
+    rng = np.random.default_rng(3)
+
+    def scale_data(ds):
+        hs, ws = h // ds, w // ds
+        return {
+            'pred_center': rng.random((B, hs, ws, 1)).astype(np.float32),
+            'pred_offset': rng.normal(size=(B, hs, ws, 2)).astype(
+                np.float32),
+            'pred_ori': rng.normal(size=(B, hs, ws, 2)).astype(
+                np.float32),
+            'instance_center': rng.random((B, hs, ws)).astype(np.float32),
+            'instance_center_mask': rng.random((B, hs, ws)) > 0.3,
+            'instance_foreground': rng.random((B, hs, ws)) > 0.5,
+            'instance_offset': rng.normal(size=(B, hs, ws, 2)).astype(
+                np.float32),
+            'orientation': rng.normal(size=(B, hs, ws, 2)).astype(
+                np.float32),
+            'orientation_foreground': rng.random((B, hs, ws)) > 0.6,
+        }
+
+    data = {1: scale_data(1), 4: scale_data(4)}
+
+    def to_chw(a):
+        return _t(a.transpose(0, 3, 1, 2))
+
+    ref_batch = {}
+    my_batch = {}
+    for key in ('instance_center', 'instance_center_mask',
+                'instance_foreground', 'instance_offset', 'orientation',
+                'orientation_foreground'):
+        chan = key in ('instance_offset', 'orientation')
+        ref_batch[key] = (to_chw(data[1][key]) if chan
+                          else _t(data[1][key]))
+        my_batch[key] = data[1][key]
+        ref_batch.setdefault('_down_4', {})[key] = (
+            to_chw(data[4][key]) if chan else _t(data[4][key]))
+        my_batch.setdefault('_down_4', {})[key] = data[4][key]
+
+    ref_preds = {
+        'instance_output': (to_chw(data[1]['pred_center']),
+                            to_chw(data[1]['pred_offset']),
+                            to_chw(data[1]['pred_ori'])),
+        'instance_side_outputs': ((to_chw(data[4]['pred_center']),
+                                   to_chw(data[4]['pred_offset']),
+                                   to_chw(data[4]['pred_ori'])),),
+    }
+    my_preds = {
+        'instance_output': (data[1]['pred_center'],
+                            data[1]['pred_offset'],
+                            data[1]['pred_ori']),
+        'instance_side_outputs': ((data[4]['pred_center'],
+                                   data[4]['pred_offset'],
+                                   data[4]['pred_ori']),),
+    }
+
+    ref_losses, _ = ref_h.training_step(ref_batch, 0, ref_preds)
+    my_losses, _ = mine.training_step(my_batch, 0, my_preds)
+
+    assert set(my_losses) == set(ref_losses), (
+        sorted(my_losses), sorted(ref_losses))
+    for key in ref_losses:
+        np.testing.assert_allclose(
+            float(np.asarray(my_losses[key])),
+            float(ref_losses[key]), rtol=1e-5, err_msg=key)
+
+
+@pytest.mark.parametrize('loss_name', ['l1', 'mse'])
+def test_normal_task_helper_losses_golden(loss_name):
+    """Normal-branch loss collection: the valid mask is derived from
+    non-zero GT normal vectors; mask-by-zeroing + counts must match."""
+    from nicr_mtsa_tpu.tasks import NormalTaskHelper
+
+    _ref_semantic_task_helper(n_classes=4)    # primes packages
+    ref_mod = ref_import('task_helper.normal')
+    ref_h = ref_mod.NormalTaskHelper(loss_name=loss_name)
+    ref_h.initialize(torch.device('cpu'))
+    mine = NormalTaskHelper(loss_name=loss_name)
+    mine.initialize()
+
+    B, h, w = 2, 32, 48
+    rng = np.random.default_rng(5)
+
+    def scale_data(ds):
+        hs, ws = h // ds, w // ds
+        normal = rng.normal(size=(B, hs, ws, 3)).astype(np.float32)
+        normal /= np.linalg.norm(normal, axis=-1, keepdims=True)
+        # zero vectors = invalid GT normals (the reference's mask rule)
+        normal[rng.random((B, hs, ws)) < 0.3] = 0.0
+        pred = rng.normal(size=(B, hs, ws, 3)).astype(np.float32)
+        return normal, pred
+
+    data = {ds: scale_data(ds) for ds in (1, 4)}
+
+    def to_chw(a):
+        return _t(a.transpose(0, 3, 1, 2))
+
+    ref_batch = {'normal': to_chw(data[1][0]),
+                 '_down_4': {'normal': to_chw(data[4][0])}}
+    my_batch = {'normal': data[1][0],
+                '_down_4': {'normal': data[4][0]}}
+    ref_preds = {'normal_output': to_chw(data[1][1]),
+                 'normal_side_outputs': (to_chw(data[4][1]),)}
+    my_preds = {'normal_output': data[1][1],
+                'normal_side_outputs': (data[4][1],)}
+
+    ref_losses, _ = ref_h.training_step(ref_batch, 0, ref_preds)
+    my_losses, _ = mine.training_step(my_batch, 0, my_preds)
+    assert set(my_losses) == set(ref_losses)
+    for key in ref_losses:
+        np.testing.assert_allclose(
+            float(np.asarray(my_losses[key])),
+            float(ref_losses[key]), rtol=1e-5, err_msg=key)
+
+
+@pytest.mark.parametrize('with_weights', [False, True])
+def test_scene_task_helper_loss_golden(with_weights):
+    """Scene CE: mean reduction over non-void (label -1) targets with
+    torch's weighted-mean semantics under class weights."""
+    from nicr_mtsa_tpu.tasks import SceneTaskHelper
+
+    C = 5
+    rng = np.random.default_rng(7)
+    weights = (rng.uniform(0.5, 2.0, size=C).astype(np.float32)
+               if with_weights else None)
+
+    _ref_semantic_task_helper(n_classes=4)    # primes packages
+    ref_mod = ref_import('task_helper.scene')
+    ref_h = ref_mod.SceneTaskHelper(n_classes=C, class_weights=weights)
+    ref_h.initialize(torch.device('cpu'))
+    mine = SceneTaskHelper(n_classes=C, class_weights=weights)
+    mine.initialize()
+
+    logits = rng.normal(0, 2, size=(6, C)).astype(np.float32)
+    scene = np.array([0, 1, 2, 5, 3, 4], np.int64)   # 0 = void
+
+    ref_losses, _ = ref_h.training_step(
+        {'scene': _t(scene)}, 0, {'scene_output': _t(logits)})
+    my_losses, _ = mine.training_step(
+        {'scene': scene}, 0, {'scene_output': logits})
+    assert set(my_losses) == set(ref_losses)
+    for key in ref_losses:
+        np.testing.assert_allclose(
+            float(np.asarray(my_losses[key])),
+            float(ref_losses[key]), rtol=1e-5, err_msg=key)
+
+
+@pytest.mark.parametrize('loss_name', ['cos_emb', 'mse'])
+def test_dve_task_helper_losses_golden(loss_name):
+    """DVE loss: the reference reconstructs target embeddings from
+    ragged per-sample LUTs + a dense index image (0 = void) with a
+    python gather loop; the padded fixed-shape reconstruction here
+    must produce identical masked losses."""
+    from nicr_mtsa_tpu.tasks import DenseVisualEmbeddingTaskHelper
+
+    _ref_semantic_task_helper(n_classes=4)    # primes packages
+    ref_mod = ref_import('task_helper.dense_visual_embedding')
+    ref_h = ref_mod.DenseVisualEmbeddingTaskHelper(
+        n_classes=4, loss_name=loss_name,
+        disable_multiscale_supervision=True)
+    ref_h.initialize(torch.device('cpu'))
+    mine = DenseVisualEmbeddingTaskHelper(
+        n_classes=4, loss_name=loss_name,
+        disable_multiscale_supervision=True)
+    mine.initialize()
+
+    B, h, w, D = 2, 16, 24, 8
+    rng = np.random.default_rng(11)
+    pred = rng.normal(size=(B, h, w, D)).astype(np.float32)
+    # ragged LUTs: 3 and 5 segment embeddings
+    luts = [rng.normal(size=(n, D)).astype(np.float32) for n in (3, 5)]
+    indices = np.stack([
+        rng.integers(0, len(luts[b]) + 1, size=(h, w))
+        for b in range(B)]).astype(np.int32)       # 0 = void
+
+    ref_batch = {
+        'dense_visual_embedding_lut': [_t(l) for l in luts],
+        'dense_visual_embedding_indices': _t(indices.astype(np.int64)),
+    }
+    my_batch = {
+        'dense_visual_embedding_lut': [l for l in luts],
+        'dense_visual_embedding_indices': indices,
+    }
+    ref_preds = {'dense_visual_embedding_output':
+                 _t(pred.transpose(0, 3, 1, 2))}
+    my_preds = {'dense_visual_embedding_output': pred}
+
+    ref_losses, _ = ref_h.training_step(ref_batch, 0, ref_preds)
+    my_losses, _ = mine.training_step(my_batch, 0, my_preds)
+    assert set(my_losses) == set(ref_losses), (
+        sorted(my_losses), sorted(ref_losses))
+    for key in ref_losses:
+        np.testing.assert_allclose(
+            float(np.asarray(my_losses[key])),
+            float(ref_losses[key]), rtol=1e-5, err_msg=key)

@@ -528,3 +528,52 @@ def test_dve_task_helper_losses_golden(loss_name):
         np.testing.assert_allclose(
             float(np.asarray(my_losses[key])),
             float(ref_losses[key]), rtol=1e-5, err_msg=key)
+
+
+def test_semantic_validation_miou_update_golden():
+    """validation_step metric rule: fullres preds vs fullres GT with
+    void masked out and labels shifted by -1; the resulting confusion
+    matrices (and mIoU) must match the reference helper's."""
+    from nicr_mtsa_tpu.tasks import SemanticTaskHelper
+
+    C, B, h, w, H0, W0 = 5, 2, 16, 24, 24, 32
+    rng = np.random.default_rng(13)
+    ref_h = _ref_semantic_task_helper(n_classes=C)
+    mine = SemanticTaskHelper(n_classes=C)
+    mine.initialize()
+
+    logits = rng.normal(size=(B, h, w, C)).astype(np.float32)
+    idx_fullres = rng.integers(0, C, size=(B, H0, W0)).astype(np.int64)
+    score = rng.random((B, h, w)).astype(np.float32)
+    target_fullres = rng.integers(0, C + 1, size=(B, H0, W0)).astype(
+        np.int64)    # 0 = void
+
+    side = rng.normal(size=(B, h // 4, w // 4, C)).astype(np.float32)
+    targets = {'semantic': rng.integers(0, C + 1, size=(B, h, w)),
+               'semantic_d4': rng.integers(0, C + 1,
+                                           size=(B, h // 4, w // 4))}
+    ref_batch = {'semantic': _t(targets['semantic']),
+                 '_down_4': {'semantic': _t(targets['semantic_d4'])},
+                 'semantic_fullres': _t(target_fullres)}
+    my_batch = {'semantic': targets['semantic'],
+                '_down_4': {'semantic': targets['semantic_d4']},
+                'semantic_fullres': target_fullres}
+    preds_common = {
+        'semantic_segmentation_idx': idx_fullres[:, :h, :w],
+        'semantic_segmentation_idx_fullres': idx_fullres,
+        'semantic_segmentation_score': score,
+    }
+    ref_preds = {'semantic_output': _t(logits.transpose(0, 3, 1, 2)),
+                 'semantic_side_outputs': (
+                     _t(side.transpose(0, 3, 1, 2)),),
+                 **{k: _t(v) for k, v in preds_common.items()}}
+    my_preds = {'semantic_output': logits,
+                'semantic_side_outputs': (side,), **preds_common}
+
+    # batch_idx=1 skips the example-image rendering path
+    ref_h.validation_step(ref_batch, 1, ref_preds)
+    mine.validation_step(my_batch, 1, my_preds)
+
+    ref_cm = ref_h._metric_iou.confmat.numpy()
+    my_cm = np.asarray(mine._metric_iou.state)
+    np.testing.assert_array_equal(my_cm, ref_cm)

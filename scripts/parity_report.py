@@ -197,6 +197,26 @@ def main():
     if has_resnet:
         pass   # covered in tests/test_torch_port.py::test_resnet_port
 
+    # --- full golden suite -------------------------------------------------
+    # the complete direct-reference evidence lives in the golden test
+    # files (preprocessing, postprocessing, task helpers, metrics,
+    # infra); run them all and report the count
+    print()
+    print('running the full reference-golden suite '
+          '(tests/test_reference_golden*.py) ...')
+    import subprocess
+    proc = subprocess.run(
+        [sys.executable, '-m', 'pytest', '-q',
+         os.path.join(REPO, 'tests', 'test_reference_golden.py'),
+         os.path.join(REPO, 'tests', 'test_reference_golden_preproc.py'),
+         os.path.join(REPO, 'tests', 'test_reference_golden_postproc.py'),
+         os.path.join(REPO, 'tests', 'test_reference_golden_infra.py')],
+        capture_output=True, text=True)
+    print(proc.stdout.strip().splitlines()[-1])
+    if proc.returncode:
+        print(proc.stdout[-2000:])
+        sys.exit(proc.returncode)
+
 
 if __name__ == '__main__':
     main()

@@ -1,5 +1,9 @@
 """Exactness check: fused finisher kernel vs XLA twin on real TPU."""
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp

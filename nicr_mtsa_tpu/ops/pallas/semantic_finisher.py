@@ -55,47 +55,17 @@ def _interleave_sublanes(a, b):
 
 def _make_kernel(Ht: int, Wt: int, C: int, out_dtype):
     def _kernel(kt_ref, bias_ref, x_hbm, idx_ref, score_ref, x_vmem, sem):
-        # manual halo DMA, double-buffered: while block t computes from
-        # slot t%2, block t+1's (Ht+2, Wt+2) halo window streams into
-        # slot (t+1)%2 (the grid runs sequentially per core, so slot
-        # t%2 is free again by the time block t+2 issues its copy)
-        nh = pl.num_programs(1)
-        nw = pl.num_programs(2)
-        t = (pl.program_id(0) * nh + pl.program_id(1)) * nw \
-            + pl.program_id(2)
-        total = pl.num_programs(0) * nh * nw
+        # manual halo DMA: block needs (Ht+2, Wt+2) of the padded input
+        ib = pl.program_id(0)
+        ih = pl.program_id(1)
+        iw = pl.program_id(2)
         Bt = x_vmem.shape[-1]
-
-        def block_copy(tt, slot):
-            # slot is a PYTHON int: semaphores (and DMA descriptors)
-            # must be statically indexed -- a dynamically-selected
-            # semaphore aliases both in-flight copies onto one counter
-            # and the wait can be satisfied by the WRONG copy's bytes
-            # (measured: ~0.25% scattered stale-data mismatches)
-            iw_ = tt % nw
-            ih_ = (tt // nw) % nh
-            ib_ = tt // (nw * nh)
-            return pltpu.make_async_copy(
-                x_hbm.at[pl.ds(ih_ * Ht, Ht + 2), pl.ds(iw_ * Wt, Wt + 2),
-                         slice(None), pl.ds(ib_ * Bt, Bt)],
-                x_vmem.at[slot], sem.at[slot])
-
-        slot = t % 2
-
-        @pl.when(t == 0)
-        def _():
-            block_copy(t, 0).start()
-
-        for s in (0, 1):
-            @pl.when((t + 1 < total) & (slot == s))
-            def _(s=s):
-                block_copy(t + 1, 1 - s).start()
-
-            @pl.when(slot == s)
-            def _(s=s):
-                block_copy(t, s).wait()
-
-        x_cur = x_vmem.at[slot]
+        copy = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(ih * Ht, Ht + 2), pl.ds(iw * Wt, Wt + 2),
+                     slice(None), pl.ds(ib * Bt, Bt)],
+            x_vmem, sem)
+        copy.start()
+        copy.wait()
 
         bias = bias_ref[0].astype(jnp.float32)        # (C, 1)
 
@@ -103,7 +73,7 @@ def _make_kernel(Ht: int, Wt: int, C: int, out_dtype):
             # (Wt, C, Bt) phase logits, f32 accumulation like the conv
             l = None
             for a in (0, 1):
-                row = x_cur[i + a + py]               # (Wt+2, C, Bt)
+                row = x_vmem[i + a + py]              # (Wt+2, C, Bt)
                 for b in (0, 1):
                     w = kt_ref[2 * a + py, 2 * b + px].astype(jnp.float32)
                     term = w * row[b + px:b + px + Wt].astype(jnp.float32)
@@ -172,14 +142,9 @@ def _finisher_call(xt, kt, bias, block_h, block_w, block_b, interpret):
             jax.ShapeDtypeStruct((2 * H, 2 * W, B), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, Ht + 2, Wt + 2, C, Bt), xt.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((Ht + 2, Wt + 2, C, Bt), xt.dtype),
+            pltpu.SemaphoreType.DMA,
         ],
-        # the double-buffered halo scratch exceeds the 16 MB default
-        # scoped-vmem limit for f32 inputs (the exactness tests); the
-        # bf16 serving path stays well under either bound
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(kt[..., None], bias[None, :, None], xt)
     return idx_t, score_t

@@ -98,8 +98,12 @@ def _make_fwd_kernel(T: int, N: int, C: int, h: int, n_patterns: int,
                 s = jnp.sum(e, axis=0, keepdims=True)
                 prob = (e / s).astype(q2.dtype)
                 # logsumexp residual for the flash backward; (1, 2N)
-                # keepdims store (Mosaic dislikes 1D vector stores)
-                l_ref[j, pl.ds(p, 1)] = mx + jnp.log(s)
+                # keepdims store (Mosaic dislikes 1D vector stores).
+                # lse is laid out (pairs, h, 2N): the blocked pair axis
+                # must be the LEADING dim -- Mosaic requires the last
+                # two block dims to be (8, 128)-aligned or full-size,
+                # and T//2 can be 2 or 4
+                l_ref[pl.ds(p, 1), j] = mx + jnp.log(s)
                 # out (n, d) = sum_m prob[m, n] v2[m, d]
                 pieces.append(jax.lax.dot_general(
                     prob, v2[:, sl], (((0,), (0,)), ((), ())),
@@ -152,7 +156,7 @@ def _make_bwd_kernel(T: int, N: int, C: int, h: int, n_patterns: int,
                     k2[:, sl], q2[:, sl], (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 lt = lt + bias_ref[j] + pm
-                prob32 = jnp.exp(lt - l_ref[j, pl.ds(p, 1)])  # (m, n)
+                prob32 = jnp.exp(lt - l_ref[pl.ds(p, 1), j])  # (m, n)
                 prob = prob32.astype(in_dtype)
                 doj = do2[:, sl].astype(in_dtype)
                 # dV (m, d) = sum_n P[m, n] dO[n, d]
@@ -195,8 +199,8 @@ def _specs(T, N, C, bias_shape, pmask_shape, n_pairs_per_tile, h):
                       memory_space=pltpu.VMEM)
     const = lambda s: pl.BlockSpec(s, lambda i: (0,) * len(s),
                                    memory_space=pltpu.VMEM)
-    lse = pl.BlockSpec((h, n_pairs_per_tile, 2 * N),
-                       lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    lse = pl.BlockSpec((n_pairs_per_tile, h, 2 * N),
+                       lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     return io, const, lse
 
 
@@ -221,7 +225,7 @@ def _fwd_call(q, k, v, bias_pair, pattern_pairs, n_heads,
                   const(pattern_pairs.shape)],
         out_specs=(io, lse),
         out_shape=(jax.ShapeDtypeStruct((Bw, N, C), q.dtype),
-                   jax.ShapeDtypeStruct((h, Bw // 2, 2 * N),
+                   jax.ShapeDtypeStruct((Bw // 2, h, 2 * N),
                                         jnp.float32)),
         interpret=interpret,
     )(q, k, v, bias_pair, pattern_pairs)

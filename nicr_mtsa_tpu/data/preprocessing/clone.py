@@ -1,4 +1,4 @@
-"""Sample-entry cloning preprocessors.
+"""Sample-entry snapshotting.
 
 Counterpart of reference ``data/preprocessing/clone.py``: snapshot
 selected sample entries before later (destructive) preprocessing runs.
@@ -8,7 +8,6 @@ collate), while ``FlatCloneEntries`` re-inserts each copy at top level
 under a renamed key (this is what backs the ``*_fullres`` keys).
 """
 from copy import deepcopy
-from typing import Any, Dict, Iterable, Optional, Tuple
 
 from ...types import SampleType
 from .base import PreprocessingBase
@@ -16,93 +15,66 @@ from .base import PreprocessingBase
 DEFAULT_CLONE_KEY = '_no_preprocessing'
 
 
-def clone_entries(
-    sample: SampleType,
-    keys_to_clone: Iterable[str],
-    ignore_missing_keys: bool = False,
-) -> SampleType:
-    """Deep-copied subset of ``sample``.
+def clone_entries(sample, keys_to_clone, ignore_missing_keys=False):
+    """Deep-copied subset of ``sample`` (dict of fresh objects).
 
-    With ``ignore_missing_keys`` absent keys are silently dropped;
-    otherwise they raise KeyError (by looking them up).
+    Unknown keys raise KeyError unless ``ignore_missing_keys``, in
+    which case they are silently dropped from the result.
     """
-    copies: SampleType = {}
-    for key in keys_to_clone:
-        if ignore_missing_keys and key not in sample:
-            continue
-        copies[key] = deepcopy(sample[key])
-    return copies
+    wanted = list(keys_to_clone)
+    if ignore_missing_keys:
+        wanted = [k for k in wanted if k in sample]
+    return {k: deepcopy(sample[k]) for k in wanted}
 
 
-class _CloneBase(PreprocessingBase):
-    """Shared key selection; subclasses decide where copies land."""
+class CloneEntries(PreprocessingBase):
+    """Snapshot entries into ONE nested dict at ``clone_key``."""
 
-    def __init__(self, keys_to_clone, ignore_missing_keys,
-                 fixed_parameters) -> None:
+    def __init__(self, keys_to_clone=None, ignore_missing_keys=False,
+                 clone_key=DEFAULT_CLONE_KEY):
         self._keys_to_clone = keys_to_clone
         self._ignore_missing_keys = ignore_missing_keys
-        fixed_parameters = dict(
-            fixed_parameters, ignore_missing_keys=ignore_missing_keys)
-        super().__init__(fixed_parameters=fixed_parameters,
-                         multiscale_processing=False)
-
-    def _selected_keys(self, sample: SampleType) -> Tuple[str, ...]:
-        if self._keys_to_clone is not None:
-            return tuple(self._keys_to_clone)
-        return tuple(sample.keys())
-
-
-class CloneEntries(_CloneBase):
-    """Store copies as one nested dict under ``clone_key``."""
-
-    def __init__(
-        self,
-        keys_to_clone: Optional[Iterable[str]] = None,
-        ignore_missing_keys: bool = False,
-        clone_key: str = DEFAULT_CLONE_KEY,
-    ) -> None:
         self._clone_key = clone_key
-        super().__init__(keys_to_clone, ignore_missing_keys,
-                         {'clone_key': clone_key})
+        super().__init__(
+            fixed_parameters={'clone_key': clone_key,
+                              'ignore_missing_keys': ignore_missing_keys},
+            multiscale_processing=False)
 
     @property
     def clone_key(self):
         return self._clone_key
 
-    def _preprocess(
-        self, sample: SampleType, **kwargs
-    ) -> Tuple[SampleType, Dict[str, Any]]:
-        keys = self._selected_keys(sample)
-        sample[self._clone_key] = clone_entries(
-            sample, keys, self._ignore_missing_keys)
-        return sample, {'cloned_keys': keys}
+    def _preprocess(self, sample: SampleType, **kwargs):
+        wanted = tuple(self._keys_to_clone or sample.keys())
+        nested = clone_entries(sample, wanted, self._ignore_missing_keys)
+        sample[self._clone_key] = nested
+        return sample, {'cloned_keys': wanted}
 
 
-class FlatCloneEntries(_CloneBase):
-    """Store each copy top-level under ``<prefix><key><suffix>``."""
+class FlatCloneEntries(PreprocessingBase):
+    """Snapshot entries back at TOP level as ``<prefix><key><suffix>``."""
 
-    def __init__(
-        self,
-        keys_to_clone: Optional[Iterable[str]] = None,
-        ignore_missing_keys: bool = False,
-        key_prefix: Optional[str] = None,
-        key_suffix: Optional[str] = None,
-    ) -> None:
-        if not (key_prefix or key_suffix):
+    def __init__(self, keys_to_clone=None, ignore_missing_keys=False,
+                 key_prefix=None, key_suffix=None):
+        if not key_prefix and not key_suffix:
             raise AssertionError(
                 'FlatCloneEntries needs a prefix or suffix, otherwise the '
                 'copies would overwrite their originals')
-        self._rename = (key_prefix or '', key_suffix or '')
-        super().__init__(keys_to_clone, ignore_missing_keys,
-                         {'key_prefix': self._rename[0],
-                          'key_suffix': self._rename[1]})
+        self._keys_to_clone = keys_to_clone
+        self._ignore_missing_keys = ignore_missing_keys
+        self._fmt = (key_prefix or '') + '{}' + (key_suffix or '')
+        super().__init__(
+            fixed_parameters={'key_prefix': key_prefix or '',
+                              'key_suffix': key_suffix or '',
+                              'ignore_missing_keys': ignore_missing_keys},
+            multiscale_processing=False)
 
-    def _preprocess(
-        self, sample: SampleType, **kwargs
-    ) -> Tuple[SampleType, Dict[str, Any]]:
-        prefix, suffix = self._rename
-        copies = clone_entries(sample, self._selected_keys(sample),
-                               self._ignore_missing_keys)
-        added = [f'{prefix}{key}{suffix}' for key in copies]
-        sample.update(zip(added, copies.values()))
-        return sample, {'added_keys': added}
+    def _preprocess(self, sample: SampleType, **kwargs):
+        wanted = tuple(self._keys_to_clone or sample.keys())
+        renamed = {
+            self._fmt.format(k): v
+            for k, v in clone_entries(
+                sample, wanted, self._ignore_missing_keys).items()
+        }
+        sample.update(renamed)
+        return sample, {'added_keys': list(renamed)}

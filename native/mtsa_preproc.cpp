@@ -118,6 +118,92 @@ void bilinear_resize_u8(const uint8_t* src, uint8_t* dst,
     });
 }
 
+// Additive jitter in uint8 HSV space over an RGB image: hue wraps
+// modulo 180, saturation/value clip to [0, 255]. Pixelwise twin of
+// data/preprocessing/augmentation.py adjust_hsv (OpenCV uint8 HSV
+// convention, H in [0, 180)); rounding is round-half-even (std::rint
+// under the default FE_TONEAREST) to match numpy's np.round exactly.
+void hsv_jitter_u8(const uint8_t* src, uint8_t* dst, int64_t n_pixels,
+                   int h_offset, int s_offset, int v_offset) {
+    const int n_threads = static_cast<int>(
+        std::min<int64_t>(hardware_threads(), n_pixels));
+    auto work = [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+            const uint8_t* p = src + i * 3;
+            uint8_t* q = dst + i * 3;
+            const int r = p[0], g = p[1], b = p[2];
+
+            // --- rgb -> uint8 hsv (rgb_to_hsv_uint8) ---
+            const int v = std::max(r, std::max(g, b));
+            const int mn = std::min(r, std::min(g, b));
+            const int diff = v - mn;
+            const int s =
+                v == 0 ? 0 : (255 * diff + v / 2) / std::max(v, 1);
+            int h_half;
+            if (diff == 0) {
+                h_half = 0;
+            } else {
+                const double ds = diff;  // diff >= 1 here
+                double hdeg;
+                if (v == r) {
+                    hdeg = (60.0 * (g - b)) / ds;
+                } else if (v == g) {
+                    hdeg = 120.0 + (60.0 * (b - r)) / ds;
+                } else {
+                    hdeg = 240.0 + (60.0 * (r - g)) / ds;
+                }
+                if (hdeg < 0.0) hdeg += 360.0;
+                h_half = static_cast<int>(std::rint(hdeg / 2.0)) % 180;
+            }
+
+            // --- jitter (adjust_hsv) ---
+            int hj = (h_half + h_offset) % 180;
+            if (hj < 0) hj += 180;
+            const int sj = std::clamp(s + s_offset, 0, 255);
+            const int vj = std::clamp(v + v_offset, 0, 255);
+
+            // --- uint8 hsv -> rgb (hsv_to_rgb_uint8) ---
+            const double hd = hj * 2.0;
+            const double sd = sj / 255.0;
+            const double vd = vj / 255.0;
+            const double c = vd * sd;
+            const double hp = hd / 60.0;
+            const double x = c * (1.0 - std::fabs(std::fmod(hp, 2.0)
+                                                  - 1.0));
+            const double m = vd - c;
+            const int hi6 = static_cast<int>(std::floor(hp)) % 6;
+            double rr, gg, bb;
+            switch (hi6) {
+                case 0: rr = c; gg = x; bb = 0; break;
+                case 1: rr = x; gg = c; bb = 0; break;
+                case 2: rr = 0; gg = c; bb = x; break;
+                case 3: rr = 0; gg = x; bb = c; break;
+                case 4: rr = x; gg = 0; bb = c; break;
+                default: rr = c; gg = 0; bb = x; break;
+            }
+            q[0] = static_cast<uint8_t>(std::clamp(
+                std::rint((rr + m) * 255.0), 0.0, 255.0));
+            q[1] = static_cast<uint8_t>(std::clamp(
+                std::rint((gg + m) * 255.0), 0.0, 255.0));
+            q[2] = static_cast<uint8_t>(std::clamp(
+                std::rint((bb + m) * 255.0), 0.0, 255.0));
+        }
+    };
+    if (n_threads <= 1) {
+        work(0, n_pixels);
+        return;
+    }
+    std::vector<std::thread> threads;
+    const int64_t chunk = (n_pixels + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+        const int64_t lo = t * chunk;
+        const int64_t hi = std::min<int64_t>(n_pixels, lo + chunk);
+        if (lo >= hi) break;
+        threads.emplace_back([lo, hi, &work] { work(lo, hi); });
+    }
+    for (auto& th : threads) th.join();
+}
+
 // uint8 HWC rgb -> float32 normalized: (x - mean[c]) / std[c].
 void normalize_u8_to_f32(const uint8_t* src, float* dst,
                          int n_pixels, int channels,

@@ -168,6 +168,11 @@ def adjust_hsv(
     assert -255 <= s_offset <= 255
     assert -255 <= v_offset <= 255
 
+    from ...native import hsv_jitter_u8 as _native_hsv
+    out = _native_hsv(img_rgb, h_offset, s_offset, v_offset)
+    if out is not None:
+        return out
+
     img_hsv = rgb_to_hsv_uint8(img_rgb)
     img_h = ((img_hsv[..., 0].astype('int') + h_offset) % 180).astype('uint8')
     img_s = np.clip(img_hsv[..., 1].astype('int') + s_offset, 0, 255).astype('uint8')

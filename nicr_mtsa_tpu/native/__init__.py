@@ -33,11 +33,13 @@ def _load() -> Optional[ctypes.CDLL]:
 
     native_dir = os.path.normpath(_repo_native_dir())
     so_path = os.path.join(native_dir, 'libmtsa_preproc.so')
-    if not os.path.isfile(so_path):
-        try:
-            subprocess.run(['make', '-C', native_dir], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
+    # always run make: it is a no-op when the .so is fresh and rebuilds
+    # it when mtsa_preproc.cpp gained entry points since the last build
+    try:
+        subprocess.run(['make', '-C', native_dir], check=True,
+                       capture_output=True, timeout=120)
+    except Exception:
+        if not os.path.isfile(so_path):
             return None
     try:
         lib = ctypes.CDLL(so_path)
@@ -50,6 +52,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.nearest_resize.argtypes = [u8p, u8p, i, i, i, i, i, i]
     lib.bilinear_resize_u8.argtypes = [u8p, u8p, i, i, i, i, i]
     lib.normalize_u8_to_f32.argtypes = [u8p, f32p, i, i, f32p, f32p]
+    lib.hsv_jitter_u8.argtypes = [u8p, u8p, ctypes.c_int64, i, i, i]
     _LIB = lib
     return _LIB
 
@@ -91,6 +94,24 @@ def bilinear_resize_u8(value: np.ndarray, height: int, width: int
     dst = np.empty((height, width) + value.shape[2:], np.uint8)
     lib.bilinear_resize_u8(_u8(value), _u8(dst), h, w, height, width,
                            channels)
+    return dst
+
+
+def hsv_jitter_u8(value: np.ndarray, h_offset: int, s_offset: int,
+                  v_offset: int) -> Optional[np.ndarray]:
+    """Native uint8-HSV-space jitter of an RGB HWC image (pixelwise
+    twin of data.preprocessing.augmentation.adjust_hsv); None if
+    unavailable."""
+    lib = _load()
+    if (lib is None or value.dtype != np.uint8
+            or value.ndim != 3 or value.shape[-1] != 3
+            or not hasattr(lib, 'hsv_jitter_u8')):
+        return None
+    value = np.ascontiguousarray(value)
+    dst = np.empty_like(value)
+    lib.hsv_jitter_u8(_u8(value), _u8(dst),
+                      ctypes.c_int64(value.size // 3),
+                      int(h_offset), int(s_offset), int(v_offset))
     return dst
 
 

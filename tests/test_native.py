@@ -72,3 +72,52 @@ def test_preprocessing_uses_native_transparently():
     out = resize_image_nearest(labels, 25, 35)
     assert out.shape == (25, 35)
     assert np.isin(out.ravel(), labels.ravel()).all()
+
+
+def test_hsv_jitter_matches_numpy_exactly():
+    # the C++ kernel must be a bit-exact pixelwise twin of the numpy
+    # uint8-HSV chain (same branch order, round-half-even everywhere)
+    from nicr_mtsa_tpu.data.preprocessing.augmentation import (
+        adjust_hsv, rgb_to_hsv_uint8, hsv_to_rgb_uint8,
+    )
+    rng = np.random.default_rng(4)
+    for case in range(6):
+        img = rng.integers(0, 256, (41, 57, 3), dtype=np.uint8)
+        h_off = int(rng.integers(-180, 181))
+        s_off = int(rng.integers(-255, 256))
+        v_off = int(rng.integers(-255, 256))
+        out = native.hsv_jitter_u8(img, h_off, s_off, v_off)
+        assert out is not None
+        hsv = rgb_to_hsv_uint8(img)
+        h = ((hsv[..., 0].astype(int) + h_off) % 180).astype(np.uint8)
+        s = np.clip(hsv[..., 1].astype(int) + s_off, 0, 255).astype(np.uint8)
+        v = np.clip(hsv[..., 2].astype(int) + v_off, 0, 255).astype(np.uint8)
+        expected = hsv_to_rgb_uint8(np.stack([h, s, v], axis=2))
+        np.testing.assert_array_equal(
+            out, expected, err_msg=f'case {case} offsets '
+                                   f'{h_off}/{s_off}/{v_off}')
+        # and the public entry point dispatches to the same result
+        np.testing.assert_array_equal(
+            adjust_hsv(img, h_off, s_off, v_off), expected)
+
+
+def test_hsv_jitter_gray_and_extremes():
+    # v == 0 (black), diff == 0 (gray), saturated channels: the
+    # integer-division and branch-order corner cases
+    from nicr_mtsa_tpu.data.preprocessing.augmentation import (
+        rgb_to_hsv_uint8, hsv_to_rgb_uint8,
+    )
+    img = np.zeros((4, 4, 3), np.uint8)
+    img[0] = [0, 0, 0]
+    img[1] = [128, 128, 128]
+    img[2] = [255, 0, 0]
+    img[3] = [0, 255, 255]
+    for off in [(-7, 30, -30), (90, -255, 255), (0, 0, 0)]:
+        out = native.hsv_jitter_u8(img, *off)
+        hsv = rgb_to_hsv_uint8(img)
+        h = ((hsv[..., 0].astype(int) + off[0]) % 180).astype(np.uint8)
+        s = np.clip(hsv[..., 1].astype(int) + off[1], 0, 255)
+        v = np.clip(hsv[..., 2].astype(int) + off[2], 0, 255)
+        expected = hsv_to_rgb_uint8(
+            np.stack([h, s.astype(np.uint8), v.astype(np.uint8)], 2))
+        np.testing.assert_array_equal(out, expected, err_msg=str(off))

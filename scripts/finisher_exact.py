@@ -12,6 +12,7 @@ may legitimately order near-exact ties differently).
 """
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -27,14 +28,21 @@ dtype = jnp.float32 if len(sys.argv) < 2 else getattr(jnp, sys.argv[1])
 B, H, W, C = 128, 240, 320, 40
 TIE_TOL = 1e-4
 rng = np.random.default_rng(0)
-x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32) * 3,
-                dtype)
+# generate x ON DEVICE: shipping the (128,240,320,40) f32 operand
+# through the axon tunnel costs minutes; the host copy is fetched
+# lazily only if the f64 tie adjudication is actually needed
+t0 = time.perf_counter()
+x = (jax.random.normal(jax.random.PRNGKey(0), (B, H, W, C), jnp.float32)
+     * 3).astype(dtype)
 kernel = jnp.asarray(rng.standard_normal((3, 3, 1, C)).astype(np.float32)
                      * 0.3)
 bias = jnp.asarray(rng.standard_normal((C,)).astype(np.float32) * 0.1)
+jax.block_until_ready(x)
+print(f"[{time.perf_counter() - t0:.1f}s] inputs on device", flush=True)
 
 idx_p, score_p = upsample2x_argmax_score(x, kernel, bias)
 idx_p, score_p = np.asarray(idx_p), np.asarray(score_p)
+print(f"[{time.perf_counter() - t0:.1f}s] pallas kernel done", flush=True)
 
 # The XLA twin materializes the fullres (B, 2H, 2W, C) conv output
 # (~20 GB f32 at B128) -- chunk it over the batch so the check fits
@@ -45,6 +53,7 @@ with jax.default_matmul_precision('highest'):
               for i in range(0, B, 16)]
 idx_r = np.concatenate([c[0] for c in chunks])
 score_r = np.concatenate([c[1] for c in chunks])
+print(f"[{time.perf_counter() - t0:.1f}s] XLA twin done", flush=True)
 
 mism = idx_p != idx_r
 n_mism = int(mism.sum())
@@ -60,8 +69,11 @@ if n_mism:
     # mismatching pixels (per-sample to bound memory)
     kt = np.asarray(fused_zeropad_2x_kernel(kernel), np.float64)  # (4,4,1,C)
     bias64 = np.asarray(bias, np.float64)
+    # the one place the full operand crosses the tunnel
     xpad = np.pad(np.asarray(x, np.float64),
                   ((0, 0), (1, 1), (1, 1), (0, 0)))
+    print(f"[{time.perf_counter() - t0:.1f}s] host operand fetched",
+          flush=True)
     for b in np.nonzero(mism.any(axis=(1, 2)))[0]:
         ys, xs = np.nonzero(mism[b])
         i, py = ys // 2, ys % 2

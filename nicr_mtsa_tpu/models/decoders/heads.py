@@ -27,16 +27,42 @@ class TaskHead(nn.Module):
     dtype: Any = jnp.float32
     # return the LAST prediction upsampling as DeferredUpsampling so
     # postprocessing can fuse it with its reduction (serving path;
-    # parameter tree is unchanged, so checkpoints interchange)
-    defer_last_upsampling: bool = False
+    # parameter tree is unchanged, so checkpoints interchange).
+    # 'all' defers BOTH upsamplings of a 2-ladder head as a
+    # DeferredUpsampling2 (fused 4x finisher) -- still param-identical.
+    defer_last_upsampling: Any = False      # False | True | 'all'
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from ..upsampling import DeferredUpsampling2
+
         is_main_output = self.n_upsamplings != 0
         x = conv(self.n_channels_out, 3 if is_main_output else 1,
                  use_bias=True, dtype=self.dtype, name='conv')(x)
+
+        defer_all = self.defer_last_upsampling == 'all'
+        if defer_all:
+            assert self.n_upsamplings == 2, self.n_upsamplings
+            assert self.post is None, \
+                'cannot defer upsampling under a post-op'
+            assert self.upsampling == 'learned-3x3-zeropad', \
+                self.upsampling
+            # declare both modules (identical parameter tree) but
+            # capture their weights instead of applying the convs
+            d1 = Upsampling(mode=self.upsampling,
+                            n_channels=self.n_channels_out,
+                            dtype=self.dtype, defer=True,
+                            name='upsample_0')(x)
+            d2 = Upsampling(mode=self.upsampling,
+                            n_channels=self.n_channels_out,
+                            dtype=self.dtype, defer=True,
+                            name='upsample_1')(d1.x)
+            return DeferredUpsampling2(
+                x=d1.x, kernel1=d1.kernel, bias1=d1.bias,
+                kernel2=d2.kernel, bias2=d2.bias)
+
         for i in range(self.n_upsamplings):
-            defer = (self.defer_last_upsampling
+            defer = (self.defer_last_upsampling is True
                      and i == self.n_upsamplings - 1)
             if defer:
                 assert self.post is None, \

@@ -11,8 +11,9 @@ from .heads import TaskHead
 class SemanticDecoder(DenseDecoderBase):
     n_classes: int = 40
     # serving-path fusion hook: emit the final prediction upsampling
-    # as DeferredUpsampling (see ops/pallas/semantic_finisher.py)
-    defer_prediction_upsampling: bool = False
+    # as DeferredUpsampling (see ops/pallas/semantic_finisher.py), or
+    # 'all' to emit BOTH as DeferredUpsampling2 (semantic_finisher4x)
+    defer_prediction_upsampling: object = False    # False | True | 'all'
 
     def apply_task_head(self, x, train: bool):
         return TaskHead(
@@ -31,7 +32,7 @@ class SemanticDecoder(DenseDecoderBase):
 class SemanticMLPDecoder(MLPDecoderBase):
     n_classes: int = 40
     n_upsamplings: int = None
-    defer_prediction_upsampling: bool = False
+    defer_prediction_upsampling: object = False    # False | True | 'all'
 
     def apply_task_head(self, x, train: bool):
         n_up = self.n_upsamplings

@@ -63,8 +63,11 @@ class MultiTaskModelConfig:
     # as DeferredUpsampling so postprocessing fuses it with the
     # argmax/score reduction (ops/pallas/semantic_finisher.py); the
     # parameter tree is unchanged, so checkpoints interchange with the
-    # non-deferred model
-    defer_semantic_prediction_upsampling: bool = False
+    # non-deferred model. 'all' defers BOTH prediction upsamplings as
+    # DeferredUpsampling2 for the fused 4x finisher
+    # (ops/pallas/semantic_finisher4x.py); requires downsampling-4
+    # heads (two-step ladder)
+    defer_semantic_prediction_upsampling: object = False  # False|True|'all'
     # gradient checkpointing for transformer backbones (Swin blocks
     # recompute in the backward pass; parameter tree unchanged)
     backbone_remat: bool = False

@@ -26,6 +26,17 @@ class DeferredUpsampling(NamedTuple):
     bias: Any         # (C,) or None
 
 
+class DeferredUpsampling2(NamedTuple):
+    """TWO chained learned-3x3-zeropad x2 upsamplings captured as data
+    (the semantic head's full prediction-upsampling ladder at
+    downsampling 4); fused by ops/pallas/semantic_finisher4x.py."""
+    x: Any            # (B, H, W, C) quarter-res features
+    kernel1: Any      # (3, 3, 1, C) stage-1 depthwise weights
+    bias1: Any        # (C,) or None
+    kernel2: Any      # (3, 3, 1, C) stage-2 depthwise weights
+    bias2: Any        # (C,) or None
+
+
 def _phase_combine(k, axis):
     """(..., 3, ...) kernel axis -> the 4 zeropad-x2 phase rows
     [K0, K0+K1, K1+K2, K2] (== flip(T @ K) for T = [[0,0,1],[0,1,1],
@@ -60,7 +71,14 @@ def learned_zeropad_2x(x, kernel, bias, dtype):
     return y
 
 
-def apply_deferred_upsampling(d: DeferredUpsampling, dtype=None):
+def apply_deferred_upsampling(d, dtype=None):
+    """Apply a DeferredUpsampling / DeferredUpsampling2 verbatim (the
+    exact conv twin of the fused finisher kernels)."""
+    if isinstance(d, DeferredUpsampling2):
+        y = learned_zeropad_2x(d.x, d.kernel1, d.bias1,
+                               dtype or d.x.dtype)
+        return learned_zeropad_2x(y, d.kernel2, d.bias2,
+                                  dtype or d.x.dtype)
     return learned_zeropad_2x(d.x, d.kernel, d.bias,
                               dtype or d.x.dtype)
 

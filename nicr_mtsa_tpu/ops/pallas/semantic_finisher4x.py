@@ -229,6 +229,31 @@ def upsample4x_argmax_score(
             jnp.transpose(score_t, (2, 0, 1)))
 
 
+def finish_deferred_semantic2(deferred, *, interpret: bool = False):
+    """(idx int32, score f32), both (B, 4H, 4W), for a semantic head's
+    DeferredUpsampling2 output. Dispatches to the fused 4x Pallas
+    kernel when the backend and shapes allow; otherwise falls back to
+    the exact two-conv XLA twin (CPU tests, odd shapes)."""
+    x = deferred.x
+    B, H, W, C = x.shape
+    b1 = deferred.bias1
+    b2 = deferred.bias2
+    if b1 is None:
+        b1 = jnp.zeros((C,), jnp.float32)
+    if b2 is None:
+        b2 = jnp.zeros((C,), jnp.float32)
+    use_pallas = interpret or (
+        jax.default_backend() == 'tpu'
+        and B % 128 == 0 and H % 4 == 0 and W % 16 == 0
+        and C % 8 == 0)    # sublane-aligned class axis (DMA tiling)
+    if use_pallas:
+        return upsample4x_argmax_score(
+            x, deferred.kernel1, b1, deferred.kernel2, b2,
+            interpret=interpret)
+    return upsample4x_argmax_score_reference(
+        x, deferred.kernel1, b1, deferred.kernel2, b2)
+
+
 def upsample4x_argmax_score_reference(x, kernel1, bias1, kernel2, bias2,
                                       dtype=None):
     """XLA twin (two depthwise convs + reduces) for exactness tests and

@@ -11,8 +11,11 @@ import jax
 import jax.numpy as jnp
 
 from ..data.preprocessing.resize import get_fullres_key
-from ..models.upsampling import DeferredUpsampling, apply_deferred_upsampling
+from ..models.upsampling import (
+    DeferredUpsampling, DeferredUpsampling2, apply_deferred_upsampling,
+)
 from ..ops.pallas.semantic_finisher import finish_deferred_semantic
+from ..ops.pallas.semantic_finisher4x import finish_deferred_semantic2
 from ..ops.pallas.semantic_reduce import semantic_score_idx
 from .base import DensePostprocessingBase
 
@@ -23,7 +26,7 @@ class SemanticPostprocessing(DensePostprocessingBase):
 
     def _postprocess_training(self, data, batch):
         output, side_outputs = data
-        if isinstance(output, DeferredUpsampling):
+        if isinstance(output, (DeferredUpsampling, DeferredUpsampling2)):
             output = apply_deferred_upsampling(output)
         return {'semantic_output': output,
                 'semantic_side_outputs': side_outputs}
@@ -32,7 +35,7 @@ class SemanticPostprocessing(DensePostprocessingBase):
         output, side_outputs = data    # (B, H, W, C)
 
         deferred = None
-        if isinstance(output, DeferredUpsampling):
+        if isinstance(output, (DeferredUpsampling, DeferredUpsampling2)):
             deferred = output
             # lazily-applied conv twin: DCE'd unless a consumer reads
             # the dense logits/softmax keys
@@ -42,7 +45,10 @@ class SemanticPostprocessing(DensePostprocessingBase):
                   'semantic_side_outputs': side_outputs}
 
         if deferred is not None:
-            idx, score = finish_deferred_semantic(deferred)
+            if isinstance(deferred, DeferredUpsampling2):
+                idx, score = finish_deferred_semantic2(deferred)
+            else:
+                idx, score = finish_deferred_semantic(deferred)
             r_dict.update({
                 'semantic_softmax_scores':
                     jax.nn.softmax(output, axis=-1),

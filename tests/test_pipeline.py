@@ -372,12 +372,15 @@ def test_training_learns_segmentation():
         logs['panoptic_all_deeplab_pq']
 
 
-def test_deferred_semantic_upsampling_pipeline_equivalence():
-    """A model built with `defer_semantic_prediction_upsampling=True`
-    must (a) accept the standard model's parameter pytree verbatim and
-    (b) produce identical serving-pipeline outputs (the deferred path
-    dispatches to the exact XLA twin on CPU; on-TPU kernel parity is
-    covered by tests/test_ops.py + hardware runs, PERF.md)."""
+@pytest.mark.parametrize('deferred_mode', [True, 'all'])
+def test_deferred_semantic_upsampling_pipeline_equivalence(deferred_mode):
+    """A model built with `defer_semantic_prediction_upsampling` in any
+    mode (True = fuse last upsample, 'all' = fuse both) must (a) accept
+    the standard model's parameter pytree verbatim and (b) produce
+    identical serving-pipeline outputs (the deferred paths dispatch to
+    the exact XLA twins on CPU; on-TPU kernel parity is covered by
+    tests/test_ops.py, tests/test_finisher4x.py + hardware runs,
+    PERF.md)."""
     from nicr_mtsa_tpu.pipeline import PanopticInferencePipeline
     from nicr_mtsa_tpu.postprocessing import (
         InstancePostprocessing, PanopticPostprocessing,
@@ -417,7 +420,7 @@ def test_deferred_semantic_upsampling_pipeline_equivalence():
         rng.integers(0, 2 ** 14, (2, H, W), dtype=np.uint16))
 
     model_std, pipe_std = make(False)
-    _, pipe_def = make(True)
+    _, pipe_def = make(deferred_mode)
     inputs = pipe_std.preprocess(rgb, depth)
     variables = jax.jit(
         lambda k: model_std.init({'params': k}, inputs, train=False)
@@ -432,10 +435,12 @@ def test_deferred_semantic_upsampling_pipeline_equivalence():
             err_msg=key)
 
 
-def test_deferred_semantic_train_and_validation_equivalence():
-    """The deferred-upsampling model must train and validate like the
-    standard model: same params, same losses (the training path applies
-    the deferred conv before the CE loss), same validation logs."""
+@pytest.mark.parametrize('deferred_mode', [True, 'all'])
+def test_deferred_semantic_train_and_validation_equivalence(deferred_mode):
+    """The deferred-upsampling models (last-only and both-fused) must
+    train and validate like the standard model: same params, same
+    losses (the training path applies the deferred conv(s) before the
+    CE loss), same validation logs."""
     def make(deferred):
         config = MultiTaskModelConfig(
             tasks=('semantic', 'instance', 'orientation', 'scene'),
@@ -462,7 +467,7 @@ def test_deferred_semantic_train_and_validation_equivalence():
     batch = make_batch()
     jit_batch = strip_non_arrays(batch)
     pipe_std = make(False)
-    pipe_def = make(True)
+    pipe_def = make(deferred_mode)
     inputs = pipe_std.model_inputs(batch)
     state = pipe_std.create_train_state(jax.random.PRNGKey(0), inputs)
 

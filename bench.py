@@ -302,6 +302,10 @@ def main():
                         help="'emsanet-bench' (the default flagship "
                              "wiring) or a configs.BENCH_CONFIGS "
                              "preset name (e.g. 'emsaformer_dve')")
+    parser.add_argument('--defer4x', action='store_true',
+                        help='serving: defer BOTH semantic prediction '
+                             'upsamplings into the fused 4x finisher '
+                             '(ops/pallas/semantic_finisher4x.py)')
     parser.add_argument('--attn-chunk', type=int, default=0,
                         help='images per Swin window-attention chunk '
                              '(0 = whole batch); bounds attention '
@@ -349,7 +353,8 @@ def main():
             # reported mIoU/PQ are bit-identical to the standard
             # model (deferred kernel may flip <0.5% bf16 tie pixels)
             defer_semantic_prediction_upsampling=(
-                not args.train and not args.eval),
+                ('all' if args.defer4x else True)
+                if (not args.train and not args.eval) else False),
             dtype=jnp.bfloat16,
         )
     else:
@@ -360,7 +365,8 @@ def main():
         if (not args.train and not args.eval
                 and config.prediction_upsampling == 'learned-3x3-zeropad'):
             config = dataclasses.replace(
-                config, defer_semantic_prediction_upsampling=True)
+                config, defer_semantic_prediction_upsampling=(
+                    'all' if args.defer4x else True))
         if args.attn_chunk and config.backbone_rgbd \
                 and config.backbone_rgbd.startswith('swin'):
             config = dataclasses.replace(

@@ -187,9 +187,10 @@ def run_eval_bench(args, model, H, W, n_classes, is_thing):
                        raw_depth=True),
         ToDeviceArrays(),
     ])
-    # 32 = measured sweet spot (B64 OOMs on the (B, P, S) PQ one-hot
-    # intersection matmuls); see PERF.md eval trajectory
-    B = args.batch_size or (2 if args.quick else 32)
+    # B64 became viable (and 1.19x faster than 32) once metric-only
+    # epochs stopped returning the fullres buffer inventory -- XLA
+    # DCE's them and the old OOM source with them; see PERF.md
+    B = args.batch_size or (2 if args.quick else 64)
     samples = []
     for i in range(B):
         s = get_dummy_sample()

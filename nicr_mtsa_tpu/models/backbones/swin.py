@@ -219,7 +219,14 @@ class WindowAttention(nn.Module):
                 k4 = k4 / jnp.maximum(
                     jnp.linalg.norm(k4, axis=-1, keepdims=True), 1e-6)
                 scale = self._v2_scale()                # (h, 1, 1)
-                q = (q4 * scale[None, None, :, 0]).reshape(Bw, N, C)
+                # scale folds into q in f32, then rounds back to the
+                # compute dtype: q/k/v MUST share the input dtype or
+                # the custom-VJP cotangents (q.dtype) hit strict
+                # lax.mul dtype checks in the AD transpose of the
+                # surrounding ops (found by bench --train on hardware)
+                q = (q4.astype(jnp.float32)
+                     * scale[None, None, :, 0]).astype(q4.dtype)
+                q = q.reshape(Bw, N, C)
                 k = k4.reshape(Bw, N, C)
             else:
                 q = q * (d ** -0.5)

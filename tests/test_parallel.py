@@ -495,3 +495,81 @@ def test_tensor_parallel_swin_matches_replicated():
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5,
                                    err_msg=f'stage {i}')
+
+
+def test_multi_slice_eval_and_train_match_single_device():
+    """Multi-slice DP simulation (SURVEY.md §2.8): a 2D ('slice',
+    'data') mesh stands in for 2 pod slices x 4 chips. The batch is
+    sharded jointly over BOTH axes, so gradient all-reduces and the
+    metric-state `psum_state` span the slice axis (DCN in a real
+    multi-slice deployment) as well as the intra-slice axis (ICI) --
+    with no code change, because every parallel helper takes the axis
+    spec verbatim. Results must match the single-device fused step."""
+    from test_pipeline import make_batch, make_pipeline
+
+    from nicr_mtsa_tpu.data.preprocessing.base import (
+        APPLIED_PREPROCESSING_KEY,
+    )
+    from nicr_mtsa_tpu.parallel.train import (
+        make_sharded_eval_step, make_sharded_train_step,
+    )
+    from nicr_mtsa_tpu.pipeline import strip_non_arrays
+
+    axes = ('slice', 'data')
+    mesh = make_mesh(8, axis_names=axes, mesh_shape=(2, 4))
+
+    pipeline = make_pipeline()
+    batch = make_batch(batch_size=8)
+    state = pipeline.create_train_state(
+        jax.random.PRNGKey(0), pipeline.model_inputs(batch))
+
+    static_batch = {
+        APPLIED_PREPROCESSING_KEY: batch[APPLIED_PREPROCESSING_KEY],
+    }
+    arrays = strip_non_arrays(batch)
+    empty = {name: helper.empty_metric_states()
+             for name, helper in pipeline.task_helpers.items()
+             if hasattr(helper, 'empty_metric_states')}
+
+    ref_step = pipeline.make_fused_eval_step(static_batch)
+    _, ref_losses, ref_states = ref_step(
+        state['params'], state['batch_stats'], arrays, empty)
+
+    step = make_sharded_eval_step(pipeline, mesh,
+                                  static_batch=static_batch,
+                                  axis_name=axes)
+    sharded_state = replicate(
+        {'params': state['params'], 'batch_stats': state['batch_stats']},
+        mesh)
+    sharded_batch = shard_batch(arrays, mesh, axis_name=axes)
+    preds, losses, states = step(
+        sharded_state['params'], sharded_state['batch_stats'],
+        sharded_batch, replicate(empty, mesh))
+
+    assert preds['semantic_segmentation_idx'].sharding.is_equivalent_to(
+        batch_sharding(mesh, axes), ndim=3)
+    for key, ref_v in ref_losses.items():
+        np.testing.assert_allclose(float(losses[key]), float(ref_v),
+                                   rtol=1e-5, err_msg=key)
+    flat_ref, treedef_ref = jax.tree_util.tree_flatten(ref_states)
+    flat, treedef = jax.tree_util.tree_flatten(states)
+    assert treedef == treedef_ref
+    for a, b in zip(flat, flat_ref):
+        a, b = np.asarray(a), np.asarray(b)
+        if np.issubdtype(a.dtype, np.integer):
+            np.testing.assert_array_equal(a, b)
+        else:
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+    # one train step across both mesh axes: losses equal the
+    # single-device jitted train-step impl on the same batch
+    rng = jax.random.PRNGKey(3)
+    _, ref_tr_losses = pipeline._jit_train_step(
+        dict(state), arrays, None, rng)
+    tr_step = make_sharded_train_step(pipeline, mesh, axis_name=axes,
+                                      donate_state=False)
+    tr_state = replicate(dict(state), mesh)
+    _, tr_losses = tr_step(tr_state, sharded_batch, None, rng)
+    for key, ref_v in ref_tr_losses.items():
+        np.testing.assert_allclose(float(tr_losses[key]), float(ref_v),
+                                   rtol=1e-4, err_msg=key)

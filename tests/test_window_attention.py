@@ -192,3 +192,30 @@ def test_fused_gradients_v1_padded():
     g_got = jax.grad(f(make('pallas-interpret')))(x)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
                                rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.parametrize('v2', [False, True])
+def test_fused_bf16_gradients_compile(v2):
+    """bf16 training through the fused kernel: the v2 per-head
+    logit-scale fold must keep q in the COMPUTE dtype or the custom-VJP
+    cotangents (q.dtype) hit strict lax.mul dtype checks in the AD
+    transpose of the surrounding ops (regression: found by
+    bench --train --model emsaformer_dve_v2 on hardware)."""
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.normal(size=(4, 64, 64)).astype(np.float32),
+                    jnp.bfloat16)
+
+    fused = WindowAttention(dim=64, n_heads=2, window_size=8, v2=v2,
+                            backend='pallas-interpret',
+                            dtype=jnp.bfloat16)
+    variables = fused.init(jax.random.PRNGKey(9), x)
+
+    def f(params, xin):
+        out = fused.apply({'params': params}, xin, None, True)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    loss, grads = jax.value_and_grad(f)(variables['params'], x)
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(l, np.float32)))
+               for l in leaves)

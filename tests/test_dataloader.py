@@ -88,3 +88,69 @@ def test_dataloader_worker_error_propagates():
         assert False, 'expected error'
     except RuntimeError as e:
         assert 'boom' in str(e)
+
+
+# --- host->device prefetcher (data/feeder.py) -----------------------------
+
+def test_prefetch_to_device_order_and_values():
+    from nicr_mtsa_tpu.data import prefetch_to_device
+
+    batches = [{'x': np.full((8, 4), i, np.float32),
+                's': np.int32(i)} for i in range(5)]
+    out = list(prefetch_to_device(iter(batches), size=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        np.testing.assert_array_equal(np.asarray(b['x']),
+                                      batches[i]['x'])
+        assert int(b['s']) == i
+
+
+def test_prefetch_to_device_size_one_and_empty():
+    from nicr_mtsa_tpu.data import prefetch_to_device
+
+    assert list(prefetch_to_device(iter([]), size=2)) == []
+    batches = [{'x': np.ones((2, 2), np.float32)}]
+    out = list(prefetch_to_device(iter(batches), size=1))
+    assert len(out) == 1
+    try:
+        list(prefetch_to_device(iter(batches), size=0))
+        assert False, 'expected ValueError'
+    except ValueError:
+        pass
+
+
+def test_prefetch_sharded_over_mesh():
+    from nicr_mtsa_tpu.data import batch_shardings, prefetch_to_device
+    from nicr_mtsa_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    chooser = batch_shardings(mesh)
+    batches = [{
+        'x': np.arange(16 * 3, dtype=np.float32).reshape(16, 3) + i,
+        'scalar': np.float32(3.0 + i),
+        'ragged': np.zeros((3, 2), np.float32),   # 3 % 8 != 0
+    } for i in range(3)]
+    out = list(prefetch_to_device(batches, size=2, sharding=chooser))
+    assert len(out) == 3
+    # batch-major leaf scattered over all 8 devices of the data axis
+    assert len(out[0]['x'].sharding.device_set) == 8
+    # scalar and ragged leaves replicated
+    assert out[0]['scalar'].sharding.is_fully_replicated
+    assert out[0]['ragged'].sharding.is_fully_replicated
+    for i, b in enumerate(out):
+        np.testing.assert_array_equal(np.asarray(b['x']),
+                                      batches[i]['x'])
+
+
+def test_prefetch_single_sharding_object():
+    import jax
+    from nicr_mtsa_tpu.data import prefetch_to_device
+    from nicr_mtsa_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    mesh = make_mesh(8)
+    sharding = batch_sharding(mesh)
+    batches = [{'x': np.ones((8, 2), np.float32) * i} for i in range(2)]
+    out = list(prefetch_to_device(batches, size=2, sharding=sharding))
+    assert len(out[1]['x'].sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(out[1]['x']),
+                                  batches[1]['x'])

@@ -187,10 +187,11 @@ def run_eval_bench(args, model, H, W, n_classes, is_thing):
                        raw_depth=True),
         ToDeviceArrays(),
     ])
-    # B64 became viable (and 1.19x faster than 32) once metric-only
-    # epochs stopped returning the fullres buffer inventory -- XLA
-    # DCE's them and the old OOM source with them; see PERF.md
-    B = args.batch_size or (2 if args.quick else 64)
+    # large batches became viable once metric-only epochs stopped
+    # returning the fullres buffer inventory -- XLA DCE's them and the
+    # old OOM source with them; hardware sweep: 32 -> 204.7,
+    # 64 -> 244.7, 128 -> 296.7 f/s (see PERF.md)
+    B = args.batch_size or (2 if args.quick else 128)
     samples = []
     for i in range(B):
         s = get_dummy_sample()

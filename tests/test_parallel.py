@@ -570,6 +570,10 @@ def test_multi_slice_eval_and_train_match_single_device():
                                       donate_state=False)
     tr_state = replicate(dict(state), mesh)
     _, tr_losses = tr_step(tr_state, sharded_batch, None, rng)
+    # rtol: the 8-way shard splits each per-example loss mean into
+    # partial means + psum, so f32 reduction order differs from the
+    # single-device sum (observed up to ~2e-4 relative on the von
+    # Mises orientation loss).
     for key, ref_v in ref_tr_losses.items():
         np.testing.assert_allclose(float(tr_losses[key]), float(ref_v),
-                                   rtol=1e-4, err_msg=key)
+                                   rtol=1e-3, err_msg=key)

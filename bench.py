@@ -362,10 +362,18 @@ def main():
                         help="'emsanet-bench' (the default flagship "
                              "wiring) or a configs.BENCH_CONFIGS "
                              "preset name (e.g. 'emsaformer_dve')")
-    parser.add_argument('--defer4x', action='store_true',
+    parser.add_argument('--defer4x', action='store_true', default=True,
                         help='serving: defer BOTH semantic prediction '
                              'upsamplings into the fused 4x finisher '
-                             '(ops/pallas/semantic_finisher4x.py)')
+                             '(ops/pallas/semantic_finisher4x.py). '
+                             'Default since the on-chip f64-oracle '
+                             'exactness gate passed (scripts/'
+                             'finisher4x_exact.py)')
+    parser.add_argument('--no-defer4x', dest='defer4x',
+                        action='store_false',
+                        help='serving: use the single-stage fused '
+                             'finisher (final upsample only) instead '
+                             'of the 4x finisher')
     parser.add_argument('--attn-chunk', type=int, default=0,
                         help='images per Swin window-attention chunk '
                              '(0 = whole batch); bounds attention '

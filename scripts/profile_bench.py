@@ -79,7 +79,7 @@ def main():
             scene_n_classes=10,
             upsampling='learned-3x3-zeropad',
             prediction_upsampling='learned-3x3-zeropad',
-            defer_semantic_prediction_upsampling=True,  # match bench.py
+            defer_semantic_prediction_upsampling='all',  # match bench.py
             dtype=jnp.bfloat16,
         )
     else:
@@ -89,7 +89,7 @@ def main():
             input_size=(H, W), dtype=jnp.bfloat16)
         if config.prediction_upsampling == 'learned-3x3-zeropad':
             config = dataclasses.replace(
-                config, defer_semantic_prediction_upsampling=True)
+                config, defer_semantic_prediction_upsampling='all')
         if args.attn_chunk and config.backbone_rgbd \
                 and config.backbone_rgbd.startswith('swin'):
             config = dataclasses.replace(

@@ -435,6 +435,12 @@ def main():
             config = dataclasses.replace(
                 config, defer_semantic_prediction_upsampling=(
                     'all' if args.defer4x else True))
+        elif (not args.train and not args.eval and args.defer4x
+                and config.prediction_upsampling == 'bilinear'):
+            # MLP-decoder families (EMSAFormer): fused bilinear 4x
+            # finisher (only the two-stage deferral exists here)
+            config = dataclasses.replace(
+                config, defer_semantic_prediction_upsampling='all')
         if args.attn_chunk and config.backbone_rgbd \
                 and config.backbone_rgbd.startswith('swin'):
             config = dataclasses.replace(

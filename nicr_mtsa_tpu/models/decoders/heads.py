@@ -34,7 +34,7 @@ class TaskHead(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        from ..upsampling import DeferredUpsampling2
+        from ..upsampling import DeferredBilinear2, DeferredUpsampling2
 
         is_main_output = self.n_upsamplings != 0
         x = conv(self.n_channels_out, 3 if is_main_output else 1,
@@ -45,6 +45,9 @@ class TaskHead(nn.Module):
             assert self.n_upsamplings == 2, self.n_upsamplings
             assert self.post is None, \
                 'cannot defer upsampling under a post-op'
+            if self.upsampling == 'bilinear':
+                # parameter-free ladder: nothing to capture but x
+                return DeferredBilinear2(x=x)
             assert self.upsampling == 'learned-3x3-zeropad', \
                 self.upsampling
             # declare both modules (identical parameter tree) but

@@ -37,6 +37,24 @@ class DeferredUpsampling2(NamedTuple):
     bias2: Any        # (C,) or None
 
 
+class DeferredBilinear2(NamedTuple):
+    """TWO chained half-pixel bilinear x2 upsamplings captured as data
+    (the MLP-decoder semantic head's prediction ladder, e.g.
+    EMSAFormer). Bilinear x2 with clamped edges is EXACTLY nearest-x2 +
+    replication-padded depthwise 3x3 with the fixed bilinear kernel
+    (reference model/upsampling.py:24-62 'learned-3x3' at init), so the
+    fused 4x finisher covers it by edge-padding the input and dropping
+    the zero-pad border masks (every bilinear phase's taps sum to 1,
+    hence duplicated edge rows reproduce the clamp)."""
+    x: Any            # (B, H, W, C) quarter-res features
+
+
+# every deferred-upsampling marker a postprocessor may receive in
+# place of a dense output tensor
+DEFERRED_TYPES = (DeferredUpsampling, DeferredUpsampling2,
+                  DeferredBilinear2)
+
+
 def _phase_combine(k, axis):
     """(..., 3, ...) kernel axis -> the 4 zeropad-x2 phase rows
     [K0, K0+K1, K1+K2, K2] (== flip(T @ K) for T = [[0,0,1],[0,1,1],
@@ -72,8 +90,14 @@ def learned_zeropad_2x(x, kernel, bias, dtype):
 
 
 def apply_deferred_upsampling(d, dtype=None):
-    """Apply a DeferredUpsampling / DeferredUpsampling2 verbatim (the
-    exact conv twin of the fused finisher kernels)."""
+    """Apply a DeferredUpsampling / DeferredUpsampling2 /
+    DeferredBilinear2 verbatim (the exact twin of the fused finisher
+    kernels; identical to the non-deferred model's output)."""
+    if isinstance(d, DeferredBilinear2):
+        x = d.x if dtype is None else d.x.astype(dtype)
+        h, w = x.shape[-3], x.shape[-2]
+        return resize_bilinear(resize_bilinear(x, 2 * h, 2 * w),
+                               4 * h, 4 * w)
     if isinstance(d, DeferredUpsampling2):
         y = learned_zeropad_2x(d.x, d.kernel1, d.bias1,
                                dtype or d.x.dtype)

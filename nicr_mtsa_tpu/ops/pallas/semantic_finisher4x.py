@@ -45,7 +45,13 @@ def _interleave_rows3(a, b):
     return jnp.stack([a, b], axis=1).reshape(2 * a.shape[0], *a.shape[1:])
 
 
-def _make_kernel(Ht: int, Wt: int, C: int, out_dtype):
+def _make_kernel(Ht: int, Wt: int, C: int, out_dtype, edge: bool = False):
+    """edge=False: zero-pad borders (learned-3x3-zeropad chain).
+    edge=True: replication borders (bilinear chain) -- the caller
+    edge-pads the input, so the halo rows/cols already hold the edge
+    values and every border mask is skipped; because each bilinear
+    phase's taps sum to 1, phases over duplicated rows reproduce the
+    clamped resize exactly (models/upsampling.py DeferredBilinear2)."""
     def _kernel(k1_ref, b1_ref, k2_ref, b2_ref, x_hbm,
                 idx_ref, score_ref, x_vmem, inter_vmem, sem):
         ib = pl.program_id(0)
@@ -93,19 +99,21 @@ def _make_kernel(Ht: int, Wt: int, C: int, out_dtype):
             # conv-chain numerics: round accumulation to the conv
             # dtype, add the (rounded) bias, round again
             row = (row.astype(out_dtype).astype(jnp.float32) + b1)
-            if q == 0:
-                row = row * top
-            elif q == 2 * Ht + 1:
-                row = row * bot
+            if not edge:
+                if q == 0:
+                    row = row * top
+                elif q == 2 * Ht + 1:
+                    row = row * bot
             inter_vmem[q] = row.astype(out_dtype)
 
-        # stage-2 global zero-pad ring on the column edges (AFTER the
-        # stage-1 bias, like jnp.pad of the biased conv output)
-        left = (iw > 0).astype(out_dtype)
-        right = (iw < n_w - 1).astype(out_dtype)
-        inter_vmem[:, 0:1] = inter_vmem[:, 0:1] * left
-        inter_vmem[:, 2 * Wt + 1:2 * Wt + 2] = (
-            inter_vmem[:, 2 * Wt + 1:2 * Wt + 2] * right)
+        if not edge:
+            # stage-2 global zero-pad ring on the column edges (AFTER
+            # the stage-1 bias, like jnp.pad of the biased conv output)
+            left = (iw > 0).astype(out_dtype)
+            right = (iw < n_w - 1).astype(out_dtype)
+            inter_vmem[:, 0:1] = inter_vmem[:, 0:1] * left
+            inter_vmem[:, 2 * Wt + 1:2 * Wt + 2] = (
+                inter_vmem[:, 2 * Wt + 1:2 * Wt + 2] * right)
 
         # ---- stage 2 + reduction: identical structure to
         # semantic_finisher.py but reading the VMEM intermediate ------
@@ -145,9 +153,10 @@ def _make_kernel(Ht: int, Wt: int, C: int, out_dtype):
 
 @functools.partial(
     jax.jit,
-    static_argnames=('block_h', 'block_w', 'block_b', 'interpret'))
+    static_argnames=('block_h', 'block_w', 'block_b', 'interpret',
+                     'edge'))
 def _finisher4x_call(xt, k1t, b1, k2t, b2,
-                     block_h, block_w, block_b, interpret):
+                     block_h, block_w, block_b, interpret, edge=False):
     Hp, Wp, C, B = xt.shape          # already padded: Hp = H + 2
     H, W = Hp - 2, Wp - 2
     Ht, Wt, Bt = block_h, block_w, block_b
@@ -163,7 +172,7 @@ def _finisher4x_call(xt, k1t, b1, k2t, b2,
                          memory_space=pltpu.VMEM)
 
     idx_t, score_t = pl.pallas_call(
-        _make_kernel(Ht, Wt, C, xt.dtype),
+        _make_kernel(Ht, Wt, C, xt.dtype, edge),
         grid=grid,
         in_specs=[
             kspec, bspec, kspec, bspec,
@@ -263,5 +272,72 @@ def upsample4x_argmax_score_reference(x, kernel1, bias1, kernel2, bias2,
     dt = dtype or x.dtype
     y = learned_zeropad_2x(x, kernel1, bias1, dt)
     y = learned_zeropad_2x(y, kernel2, bias2, dt)
+    score, idx = semantic_score_idx(y)
+    return idx, score
+
+
+def upsample4x_bilinear_argmax_score(
+    x: jnp.ndarray,            # (B, H, W, C) quarter-res logits
+    *,
+    block_h: int = 4,
+    block_w: int = 16,
+    interpret: bool = False,
+):
+    """(first-argmax idx int32, max-softmax score f32), both
+    (B, 4H, 4W), of x upsampled by TWO half-pixel bilinear x2 stages
+    (the MLP-decoder prediction ladder) -- fullres logits never in HBM.
+
+    Bilinear x2 with clamped edges == nearest-x2 + replication-padded
+    depthwise 3x3 with the fixed bilinear kernel, so this reuses the
+    4x finisher with edge-padded input and no border masks
+    (models/upsampling.py DeferredBilinear2). Same alignment
+    constraints as upsample4x_argmax_score."""
+    import numpy as np
+    from ...models.upsampling import _BILINEAR_KERNEL
+    from .semantic_finisher import fused_upsample_kernel
+
+    B, H, W, C = x.shape
+    block_b = 128 if B % 128 == 0 else 8
+    assert B % block_b == 0 and H % block_h == 0 and W % block_w == 0, \
+        (x.shape, block_h, block_w, block_b)
+
+    kernel = jnp.broadcast_to(
+        jnp.asarray(np.asarray(_BILINEAR_KERNEL))[:, :, None, None],
+        (3, 3, 1, C)).astype(jnp.float32)
+    kt = fused_upsample_kernel(kernel).astype(x.dtype)
+    zb = jnp.zeros((C,), x.dtype)
+
+    xt = jnp.transpose(x, (1, 2, 3, 0))       # bitcast under batch-minor
+    xt = jnp.pad(xt, ((1, 1), (1, 1), (0, 0), (0, 0)), mode='edge')
+
+    idx_t, score_t = _finisher4x_call(
+        xt, kt, zb, kt, zb, block_h, block_w, block_b, interpret,
+        edge=True)
+    return (jnp.transpose(idx_t, (2, 0, 1)),
+            jnp.transpose(score_t, (2, 0, 1)))
+
+
+def finish_deferred_bilinear2(deferred, *, interpret: bool = False):
+    """(idx int32, score f32), both (B, 4H, 4W), for a semantic head's
+    DeferredBilinear2 output. Fused Pallas kernel when the backend and
+    shapes allow; exact two-resize XLA twin otherwise."""
+    x = deferred.x
+    B, H, W, C = x.shape
+    use_pallas = interpret or (
+        jax.default_backend() == 'tpu'
+        and B % 128 == 0 and H % 4 == 0 and W % 16 == 0
+        and C % 8 == 0)    # sublane-aligned class axis (DMA tiling)
+    if use_pallas:
+        return upsample4x_bilinear_argmax_score(x, interpret=interpret)
+    return upsample4x_bilinear_reference(x)
+
+
+def upsample4x_bilinear_reference(x):
+    """XLA twin (two half-pixel bilinear resizes + reduces)."""
+    from ...models.upsampling import resize_bilinear
+    from .semantic_reduce import semantic_score_idx
+    B, H, W, C = x.shape
+    y = resize_bilinear(x, 2 * H, 2 * W)
+    y = resize_bilinear(y, 4 * H, 4 * W)
     score, idx = semantic_score_idx(y)
     return idx, score

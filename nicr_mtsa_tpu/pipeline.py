@@ -186,13 +186,11 @@ class MultiTaskPipeline:
                 # panoptic postprocessor handles both sub-tasks in
                 # training via the per-task naming convention
                 from .models.upsampling import (
-                    DeferredUpsampling, DeferredUpsampling2,
-                    apply_deferred_upsampling,
+                    DEFERRED_TYPES, apply_deferred_upsampling,
                 )
                 prefix = task
                 main = raw[0]
-                if isinstance(main, (DeferredUpsampling,
-                                     DeferredUpsampling2)):
+                if isinstance(main, DEFERRED_TYPES):
                     main = apply_deferred_upsampling(main)
                 predictions_post[f'{prefix}_output'] = main
                 predictions_post[f'{prefix}_side_outputs'] = raw[1]
@@ -447,10 +445,9 @@ class PanopticInferencePipeline:
         for task in self._extra_output_tasks:
             main = predictions[task][0]
             from .models.upsampling import (
-                DeferredUpsampling, DeferredUpsampling2,
-                apply_deferred_upsampling,
+                DEFERRED_TYPES, apply_deferred_upsampling,
             )
-            if isinstance(main, (DeferredUpsampling, DeferredUpsampling2)):
+            if isinstance(main, DEFERRED_TYPES):
                 main = apply_deferred_upsampling(main)
             outputs[f'{task}_output'] = main
         return outputs

@@ -12,10 +12,13 @@ import jax.numpy as jnp
 
 from ..data.preprocessing.resize import get_fullres_key
 from ..models.upsampling import (
-    DeferredUpsampling, DeferredUpsampling2, apply_deferred_upsampling,
+    DEFERRED_TYPES, DeferredBilinear2, DeferredUpsampling2,
+    apply_deferred_upsampling,
 )
 from ..ops.pallas.semantic_finisher import finish_deferred_semantic
-from ..ops.pallas.semantic_finisher4x import finish_deferred_semantic2
+from ..ops.pallas.semantic_finisher4x import (
+    finish_deferred_bilinear2, finish_deferred_semantic2,
+)
 from ..ops.pallas.semantic_reduce import semantic_score_idx
 from .base import DensePostprocessingBase
 
@@ -26,7 +29,7 @@ class SemanticPostprocessing(DensePostprocessingBase):
 
     def _postprocess_training(self, data, batch):
         output, side_outputs = data
-        if isinstance(output, (DeferredUpsampling, DeferredUpsampling2)):
+        if isinstance(output, DEFERRED_TYPES):
             output = apply_deferred_upsampling(output)
         return {'semantic_output': output,
                 'semantic_side_outputs': side_outputs}
@@ -35,7 +38,7 @@ class SemanticPostprocessing(DensePostprocessingBase):
         output, side_outputs = data    # (B, H, W, C)
 
         deferred = None
-        if isinstance(output, (DeferredUpsampling, DeferredUpsampling2)):
+        if isinstance(output, DEFERRED_TYPES):
             deferred = output
             # lazily-applied conv twin: DCE'd unless a consumer reads
             # the dense logits/softmax keys
@@ -45,7 +48,9 @@ class SemanticPostprocessing(DensePostprocessingBase):
                   'semantic_side_outputs': side_outputs}
 
         if deferred is not None:
-            if isinstance(deferred, DeferredUpsampling2):
+            if isinstance(deferred, DeferredBilinear2):
+                idx, score = finish_deferred_bilinear2(deferred)
+            elif isinstance(deferred, DeferredUpsampling2):
                 idx, score = finish_deferred_semantic2(deferred)
             else:
                 idx, score = finish_deferred_semantic(deferred)

@@ -90,6 +90,9 @@ def main():
         if config.prediction_upsampling == 'learned-3x3-zeropad':
             config = dataclasses.replace(
                 config, defer_semantic_prediction_upsampling='all')
+        elif config.prediction_upsampling == 'bilinear':
+            config = dataclasses.replace(
+                config, defer_semantic_prediction_upsampling='all')
         if args.attn_chunk and config.backbone_rgbd \
                 and config.backbone_rgbd.startswith('swin'):
             config = dataclasses.replace(

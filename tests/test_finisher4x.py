@@ -91,6 +91,86 @@ def test_finisher4x_tie_break_first():
     assert (np.asarray(idx) == 2).all()
 
 
+def _bilinear_2x_f64(x):
+    """float64 nearest-x2 + REPLICATION-padded depthwise 3x3 with the
+    fixed bilinear kernel == half-pixel clamped bilinear x2 resize
+    (models/upsampling.py DeferredBilinear2)."""
+    from nicr_mtsa_tpu.models.upsampling import _BILINEAR_KERNEL
+    B, H, W, C = x.shape
+    up = np.repeat(np.repeat(x.astype(np.float64), 2, 1), 2, 2)
+    upp = np.pad(up, ((0, 0), (1, 1), (1, 1), (0, 0)), mode='edge')
+    out = np.zeros_like(up)
+    for dy in range(3):
+        for dx in range(3):
+            out += (float(_BILINEAR_KERNEL[dy, dx])
+                    * upp[:, dy:dy + 2 * H, dx:dx + 2 * W, :])
+    return out
+
+
+def test_bilinear_formulation_matches_jax_resize():
+    # the DeferredBilinear2 premise: nearest-x2 + replication-padded
+    # 3x3 bilinear kernel == jax.image.resize 'linear' (half-pixel,
+    # clamped) -- the model's actual upsampling op
+    from nicr_mtsa_tpu.models.upsampling import resize_bilinear
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 5, 7, 3)).astype(np.float64)
+    ours = _bilinear_2x_f64(x)
+    # jax runs f32 here (x64 stays off in tests): tolerance is f32 eps
+    theirs = np.asarray(resize_bilinear(jnp.asarray(x), 10, 14))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-6, atol=1e-6)
+
+
+def test_finisher4x_bilinear_matches_numpy_oracle_f32():
+    from nicr_mtsa_tpu.ops.pallas.semantic_finisher4x import (
+        upsample4x_bilinear_argmax_score,
+    )
+    rng = np.random.default_rng(13)
+    B, H, W, C = 8, 8, 32, 40
+    x = rng.normal(size=(B, H, W, C)).astype(np.float32)
+
+    logits = _bilinear_2x_f64(_bilinear_2x_f64(x))
+    idx_o = np.argmax(logits, axis=-1)
+    m = logits.max(axis=-1, keepdims=True)
+    score_o = 1.0 / np.sum(np.exp(logits - m), axis=-1)
+
+    # (4, 16) blocks on (8, 32): every tile touches an image border
+    # (replication ring) AND an interior tile boundary
+    idx, score = upsample4x_bilinear_argmax_score(
+        jnp.asarray(x), interpret=True)
+    assert idx.shape == (B, 4 * H, 4 * W)
+    np.testing.assert_array_equal(np.asarray(idx), idx_o)
+    np.testing.assert_allclose(np.asarray(score), score_o, rtol=1e-4)
+
+
+def test_finisher4x_bilinear_matches_xla_twin_f32():
+    from nicr_mtsa_tpu.ops.pallas.semantic_finisher4x import (
+        upsample4x_bilinear_argmax_score, upsample4x_bilinear_reference,
+    )
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.normal(size=(8, 8, 32, 40)).astype(np.float32))
+    idx, score = upsample4x_bilinear_argmax_score(x, interpret=True)
+    idx_r, score_r = upsample4x_bilinear_reference(x)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_r))
+    np.testing.assert_allclose(
+        np.asarray(score), np.asarray(score_r), rtol=1e-4)
+
+
+def test_finisher4x_bilinear_constant_input_is_constant():
+    # replication borders: a constant image must stay EXACTLY constant
+    # through both stages (zero-pad borders would dim the edges)
+    from nicr_mtsa_tpu.ops.pallas.semantic_finisher4x import (
+        upsample4x_bilinear_argmax_score,
+    )
+    B, H, W, C = 8, 4, 16, 8
+    x = np.full((B, H, W, C), 0.25, np.float32)
+    x[..., 3] = 1.0
+    idx, score = upsample4x_bilinear_argmax_score(
+        jnp.asarray(x), interpret=True)
+    assert (np.asarray(idx) == 3).all()
+    expected = 1.0 / (np.exp(0.25 - 1.0) * (C - 1) + 1.0)
+    np.testing.assert_allclose(np.asarray(score), expected, rtol=1e-5)
+
+
 def test_finisher4x_no_bias_zero_input_border():
     # with nonzero biases the border behavior is the discriminating
     # case: stage-1 bias must appear INSIDE the image but not in the

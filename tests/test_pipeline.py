@@ -372,7 +372,7 @@ def test_training_learns_segmentation():
         logs['panoptic_all_deeplab_pq']
 
 
-@pytest.mark.parametrize('deferred_mode', [True, 'all'])
+@pytest.mark.parametrize('deferred_mode', [True, 'all', 'bilinear-all'])
 def test_deferred_semantic_upsampling_pipeline_equivalence(deferred_mode):
     """A model built with `defer_semantic_prediction_upsampling` in any
     mode (True = fuse last upsample, 'all' = fuse both) must (a) accept
@@ -391,7 +391,15 @@ def test_deferred_semantic_upsampling_pipeline_equivalence(deferred_mode):
     n_classes = 8
     is_thing = tuple(i < 3 for i in range(n_classes))
 
+    # 'bilinear-all' = the MLP-decoder families' parameter-free
+    # prediction ladder (DeferredBilinear2): both std and deferred
+    # models use bilinear prediction upsampling
+    bilinear = deferred_mode == 'bilinear-all'
+    pred_up = 'bilinear' if bilinear else 'learned-3x3-zeropad'
+
     def make(deferred):
+        if bilinear and deferred:
+            deferred = 'all'       # only the two-stage deferral exists
         config = MultiTaskModelConfig(
             tasks=('semantic', 'instance', 'orientation', 'scene'),
             backbone_rgb='resnet18', backbone_depth='resnet18',
@@ -400,7 +408,7 @@ def test_deferred_semantic_upsampling_pipeline_equivalence(deferred_mode):
             input_size=(H, W), semantic_n_classes=n_classes,
             scene_n_classes=5,
             upsampling='learned-3x3-zeropad',
-            prediction_upsampling='learned-3x3-zeropad',
+            prediction_upsampling=pred_up,
             defer_semantic_prediction_upsampling=deferred,
             dtype=jnp.float32)
         model = build_model(config)
@@ -435,13 +443,18 @@ def test_deferred_semantic_upsampling_pipeline_equivalence(deferred_mode):
             err_msg=key)
 
 
-@pytest.mark.parametrize('deferred_mode', [True, 'all'])
+@pytest.mark.parametrize('deferred_mode', [True, 'all', 'bilinear-all'])
 def test_deferred_semantic_train_and_validation_equivalence(deferred_mode):
     """The deferred-upsampling models (last-only and both-fused) must
     train and validate like the standard model: same params, same
     losses (the training path applies the deferred conv(s) before the
     CE loss), same validation logs."""
+    bilinear = deferred_mode == 'bilinear-all'
+    pred_up = 'bilinear' if bilinear else 'learned-3x3-zeropad'
+
     def make(deferred):
+        if bilinear and deferred:
+            deferred = 'all'
         config = MultiTaskModelConfig(
             tasks=('semantic', 'instance', 'orientation', 'scene'),
             backbone_rgb='resnet18', backbone_depth='resnet18',
@@ -449,7 +462,7 @@ def test_deferred_semantic_train_and_validation_equivalence(deferred_mode):
             context_n_channels=64, input_size=(H, W),
             decoder_n_channels=(32, 24, 16), decoder_n_blocks=1,
             upsampling='learned-3x3-zeropad',
-            prediction_upsampling='learned-3x3-zeropad',
+            prediction_upsampling=pred_up,
             defer_semantic_prediction_upsampling=deferred,
             semantic_n_classes=N_CLASSES - 1, scene_n_classes=4)
         model = build_model(config)

@@ -504,8 +504,10 @@ def main():
         sizes = [64, 128, 256]
     else:
         # single compile keeps the driver's bench run fast; 256 is the
-        # measured throughput sweet spot (see PERF.md)
-        sizes = [256]
+        # EMSANet throughput sweet spot; windowed-attention models
+        # peak at 128 (B256 OOMs on attention activations) -- PERF.md
+        swin = args.model != 'emsanet-bench' and 'former' in args.model
+        sizes = [128] if swin else [256]
 
     def measure_all():
         best = 0.0

@@ -136,9 +136,46 @@ def conv(
     )
 
 
+class _SplitPointwiseConv(nn.Module):
+    """1x1 conv over the CONCAT of `parts`, computed as per-part
+    kernel-slice matmuls summed in f32 -- the concatenated tensor never
+    materializes in HBM (at the MLP decoders' fullres fuse this is a
+    ~1.2 GB round trip per decoder at serving batch). Parameter tree,
+    shapes, and init are identical to `conv(features, 1, name='conv')`
+    applied to the concat, so checkpoints interchange; only the f32
+    accumulation order differs from the single wide matmul."""
+    features: int
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, parts):
+        n_in = sum(p.shape[-1] for p in parts)
+        kernel = self.param('kernel', he_fan_out_init,
+                            (1, 1, n_in, self.features), jnp.float32)
+        acc = None
+        off = 0
+        for p in parts:
+            c = p.shape[-1]
+            w = kernel[0, 0, off:off + c].astype(self.dtype)
+            t = jnp.einsum('bhwc,cd->bhwd', p.astype(self.dtype), w,
+                           preferred_element_type=jnp.float32)
+            acc = t if acc is None else acc + t
+            off += c
+        if self.use_bias:
+            bias = self.param('bias', nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            acc = acc + bias
+        return acc.astype(self.dtype)
+
+
 class ConvNormAct(nn.Module):
     """conv -> norm -> act (reference model/utils.py ConvNormAct);
-    norm/act may be disabled by passing `norm=None` / `act=None`."""
+    norm/act may be disabled by passing `norm=None` / `act=None`.
+
+    `x` may be a tuple/list of tensors (kernel_size 1 only): the conv
+    then runs as per-part kernel slices summed instead of conv(concat)
+    -- same parameters, no concatenated intermediate."""
     features: int
     kernel_size: int = 1
     stride: int = 1
@@ -149,9 +186,16 @@ class ConvNormAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = conv(self.features, self.kernel_size, self.stride,
-                 self.dilation, use_bias=self.norm is None,
-                 dtype=self.dtype, name='conv')(x)
+        if isinstance(x, (tuple, list)):
+            assert self.kernel_size == 1 and self.stride == 1, \
+                'split input only for pointwise convs'
+            x = _SplitPointwiseConv(
+                self.features, use_bias=self.norm is None,
+                dtype=self.dtype, name='conv')(x)
+        else:
+            x = conv(self.features, self.kernel_size, self.stride,
+                     self.dilation, use_bias=self.norm is None,
+                     dtype=self.dtype, name='conv')(x)
         if self.norm is not None:
             x = Norm(self.norm, dtype=self.dtype, name='norm')(x, train)
         if self.act is not None:

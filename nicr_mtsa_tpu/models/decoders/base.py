@@ -249,9 +249,12 @@ class MLPDecoderBase(nn.Module):
                 dtype=self.dtype, name=f'skip_upsample{i}')(sel)
             features.append(sel)
 
-        x = jnp.concatenate(features, axis=-1)
+        # fuse(concat(branches)) as per-branch kernel slices summed:
+        # the (B, H/4, W/4, sum_C) concat never materializes (common.py
+        # _SplitPointwiseConv; parameter tree unchanged)
         x = ConvNormAct(self.head_n_channels, 1, norm=self.norm,
-                        act=self.act, dtype=self.dtype, name='fuse')(x, train)
+                        act=self.act, dtype=self.dtype,
+                        name='fuse')(tuple(features), train)
         x = nn.Dropout(self.dropout_p, broadcast_dims=(1, 2),
                        deterministic=not train)(x)
 

@@ -302,3 +302,35 @@ def test_config_presets_build():
         config = fn(input_size=(64, 64), dtype=jnp.float32)
         model = build_model(config)
         assert model is not None, name
+
+
+def test_split_pointwise_conv_matches_concat_conv():
+    """The MLP decoders' fuse(concat(branches)) runs as per-branch
+    kernel-slice matmuls summed (common.py _SplitPointwiseConv): same
+    parameter tree as conv-on-concat (checkpoints interchange), same
+    output up to f32 accumulation order."""
+    import jax
+    from nicr_mtsa_tpu.models.common import ConvNormAct
+
+    rng = np.random.default_rng(5)
+    parts = tuple(
+        jnp.asarray(rng.normal(size=(2, 8, 10, c)).astype(np.float32))
+        for c in (12, 8, 8, 4))
+    m = ConvNormAct(16, 1, norm='batchnorm', act='relu',
+                    dtype=jnp.float32)
+
+    v_split = m.init(jax.random.PRNGKey(0), parts, False)
+    v_cat = m.init(jax.random.PRNGKey(0),
+                   jnp.concatenate(parts, axis=-1), False)
+    # identical parameter tree AND identical init values
+    flat_s = jax.tree_util.tree_flatten_with_path(v_split)[0]
+    flat_c = jax.tree_util.tree_flatten_with_path(v_cat)[0]
+    assert [p for p, _ in flat_s] == [p for p, _ in flat_c]
+    for (path, a), (_, b) in zip(flat_s, flat_c):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(path))
+
+    y_split = m.apply(v_split, parts, False)
+    y_cat = m.apply(v_split, jnp.concatenate(parts, axis=-1), False)
+    np.testing.assert_allclose(np.asarray(y_split), np.asarray(y_cat),
+                               rtol=1e-5, atol=1e-6)

@@ -111,7 +111,9 @@ def main():
 
     static_batch = {
         APPLIED_PREPROCESSING_KEY: batch[APPLIED_PREPROCESSING_KEY]}
-    step = pipeline.make_fused_eval_step(static_batch)
+    # match bench --eval: metric-only epoch (output_keys=()) so the
+    # fullres prediction buffers are DCE'd like the measured program
+    step = pipeline.make_fused_eval_step(static_batch, output_keys=())
     arrays = jax.tree_util.tree_map(jax.device_put,
                                     strip_non_arrays(batch))
     jax.block_until_ready(arrays)

@@ -61,7 +61,9 @@ def main():
         scene_n_classes=10,
         upsampling='learned-3x3-zeropad',
         prediction_upsampling='learned-3x3-zeropad',
-        defer_semantic_prediction_upsampling=True,
+        # bench --eval keeps the non-deferred reduce (metric
+        # numbers bit-identical to the standard model) -- match it
+        defer_semantic_prediction_upsampling=False,
         dtype=jnp.bfloat16)
     model = build_model(config)
 

@@ -10,6 +10,7 @@ parameters but returns a `DeferredUpsampling` carrying (x, kernel,
 bias) instead of applying the conv -- consumers can then fuse the
 upsampling with their reduction (ops/pallas/semantic_finisher.py) or
 apply it verbatim via `apply_deferred_upsampling`."""
+import math
 from typing import Any, NamedTuple, Optional, Tuple, Union
 
 import jax
@@ -133,20 +134,126 @@ def upsample_nearest_2x(x):
     return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
 
 
+def _two_tap_params(n: int, m: int):
+    """Source taps/weights of a half-pixel 2-tap linear resize n -> m
+    (torch F.interpolate bilinear, align_corners=False, antialias=False
+    -- the reference's fullres-resize semantics at
+    model/postprocessing/dense_base.py:14-58). Returns (i0, f): output
+    j = (1-f[j]) * x[i0[j]] + f[j] * x[i0[j]+1], taps clamped to
+    [0, n-1]."""
+    j = np.arange(m)
+    src = (j + 0.5) * (n / m) - 0.5
+    i0 = np.floor(src).astype(np.int64)
+    f = (src - i0).astype(np.float32)
+    return i0, f
+
+
+def _resize_axis_linear(x, m: int, axis: int):
+    """2-tap linear resize of one axis (n -> m), XLA-friendly.
+
+    jax.image.resize lowers the 2-tap stencil to a DENSE (n, m) f32
+    dot_general -- ~n/2 x the necessary FLOPs and a compute-bound
+    matmul at fullres eval shapes (measured 70 ms/step at B128; its
+    f32 temporaries were the eval B256 OOM, see PERF.md). Instead:
+    the tap pattern is periodic with block size (q -> p) for
+    q = n/g, p = m/g, g = gcd(n, m), so the resize is p strided
+    slices combined with 2-tap weights -- pure elementwise VPU work
+    that XLA can fuse into downstream consumers. Edge clamping is
+    reproduced exactly by edge-padding (a clamped tap and an
+    edge-replicated pad row are the same row).
+
+    Falls back to a dense tensordot when the period is too long to
+    unroll (p > 32)."""
+    n = x.shape[axis]
+    if m == n:
+        return x
+    axis = axis % x.ndim
+    i0, f = _two_tap_params(n, m)
+    g = math.gcd(n, m)
+    q, p = n // g, m // g
+    # periodicity check (float rounding of src could break it in
+    # pathological cases; the dense path is always-correct)
+    periodic = (
+        p <= 32
+        and bool(np.all(i0.reshape(g, p)
+                        - np.arange(g)[:, None] * q == i0[:p]))
+        and bool(np.all(f.reshape(g, p) - f[:p] == 0.0))
+    )
+    if not periodic:
+        R = np.zeros((n, m), np.float32)
+        j = np.arange(m)
+        np.add.at(R, (np.clip(i0, 0, n - 1), j), 1.0 - f)
+        np.add.at(R, (np.clip(i0 + 1, 0, n - 1), j), f)
+        # HIGHEST: default-precision TPU matmuls run f32 as one bf16
+        # pass, corrupting the interpolation by ~2^-8 (CLAUDE.md
+        # selection-matrix lesson; jax.image.resize also pins HIGHEST)
+        y = jnp.tensordot(jnp.moveaxis(x, axis, -1),
+                          jnp.asarray(R, x.dtype), axes=1,
+                          precision=jax.lax.Precision.HIGHEST)
+        return jnp.moveaxis(y, -1, axis)
+
+    pad_cfg = [(0, 0)] * x.ndim
+    pad_cfg[axis] = (1, 1)
+    xp = jnp.pad(x, pad_cfg, mode='edge')
+    pieces = []
+    for r in range(p):
+        s = int(i0[r]) + 1                     # xp[t] = x_clamped[t-1]
+        limit = s + (g - 1) * q + 1
+        a = jax.lax.slice_in_dim(xp, s, limit, stride=q, axis=axis)
+        w = float(f[r])
+        if w == 0.0:
+            pieces.append(a)
+            continue
+        b = jax.lax.slice_in_dim(xp, s + 1, limit + 1, stride=q,
+                                 axis=axis)
+        pieces.append(a * (1.0 - w) + b * w)
+    y = jnp.stack(pieces, axis=axis + 1)       # (..., g, p, ...)
+    return y.reshape(*x.shape[:axis], m, *x.shape[axis + 1:])
+
+
 def resize_bilinear(x, height: int, width: int):
-    """Half-pixel-centered bilinear resize (torch align_corners=False /
-    jax.image 'linear')."""
-    shape = (*x.shape[:-3], height, width, x.shape[-1])
-    return jax.image.resize(x, shape, method='linear')
+    """Half-pixel-centered bilinear resize (torch align_corners=False,
+    antialias=False). Matches jax.image.resize 'linear' on upscales;
+    on downscales it keeps the reference's 2-tap semantics (torch
+    F.interpolate default) where jax.image would antialias."""
+    x = _resize_axis_linear(x, height, -3)
+    return _resize_axis_linear(x, width, -2)
+
+
+def _resize_axis_nearest(x, m: int, axis: int):
+    """Nearest resize of one axis via the same blocked strided-slice
+    decomposition as `_resize_axis_linear` (1 tap): avoids the 2-axis
+    advanced-indexing gather, which XLA:TPU lowers poorly at fullres
+    shapes (PERF.md lesson 1)."""
+    n = x.shape[axis]
+    if m == n:
+        return x
+    axis = axis % x.ndim
+    idx = (np.arange(m) * n) // m              # floor(j*n/m), in range
+    g = math.gcd(n, m)
+    q, p = n // g, m // g
+    periodic = (
+        p <= 32
+        and bool(np.all(idx.reshape(g, p)
+                        - np.arange(g)[:, None] * q == idx[:p]))
+    )
+    if not periodic:
+        take = jnp.asarray(idx)
+        return jnp.take(x, take, axis=axis)
+    pieces = [
+        jax.lax.slice_in_dim(x, int(idx[r]), int(idx[r]) + (g - 1) * q + 1,
+                             stride=q, axis=axis)
+        for r in range(p)
+    ]
+    y = jnp.stack(pieces, axis=axis + 1)       # (..., g, p, ...)
+    return y.reshape(*x.shape[:axis], m, *x.shape[axis + 1:])
 
 
 def resize_nearest(x, height: int, width: int):
     """Nearest resize with the same floor(i*src/dst) index mapping as
     the host preprocessing resize (exact for label maps)."""
-    h, w = x.shape[-3], x.shape[-2]
-    yi = jnp.clip((jnp.arange(height) * h) // height, 0, h - 1)
-    xi = jnp.clip((jnp.arange(width) * w) // width, 0, w - 1)
-    return x[..., yi[:, None], xi[None, :], :]
+    x = _resize_axis_nearest(x, height, -3)
+    return _resize_axis_nearest(x, width, -2)
 
 
 class Upsampling(nn.Module):

@@ -145,6 +145,38 @@ def test_upsampling(mode):
                                    atol=1e-5)
 
 
+@pytest.mark.parametrize('h0,w0,h1,w1', [
+    (20, 32, 40, 56),     # upscale, non-integer ratio
+    (8, 10, 16, 20),      # exact x2 upscale
+    (15, 20, 16, 16),     # H up (period 15->16), W down (5->4 blocks)
+    (24, 20, 17, 31),     # coprime sizes -> dense fallback
+    (12, 16, 7, 5),       # pure downscale
+    (1, 3, 4, 6),         # degenerate single row
+])
+def test_resize_bilinear_matches_torch(h0, w0, h1, w1):
+    """resize_bilinear implements torch F.interpolate(bilinear,
+    align_corners=False, antialias=False) — the reference's fullres
+    resize (model/postprocessing/dense_base.py) — on BOTH up- and
+    downscales (jax.image.resize would antialias downscales)."""
+    import torch
+    import torch.nn.functional as F
+
+    from nicr_mtsa_tpu.models.upsampling import resize_bilinear
+
+    x = np.random.default_rng(3).normal(
+        size=(2, h0, w0, 5)).astype(np.float32)
+    mine = np.asarray(resize_bilinear(jnp.asarray(x), h1, w1))
+    ref = F.interpolate(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                        size=(h1, w1), mode='bilinear',
+                        align_corners=False).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(mine, ref, atol=1e-5)
+    if h1 >= h0 and w1 >= w0:
+        # upscales also still agree with jax.image.resize 'linear'
+        viajax = np.asarray(jax.image.resize(
+            jnp.asarray(x), (2, h1, w1, 5), method='linear'))
+        np.testing.assert_allclose(mine, viajax, atol=1e-5)
+
+
 def _decoder_inputs(n_ctx=128):
     rng = np.random.default_rng(7)
 

@@ -239,7 +239,10 @@ def test_semantic_postproc_inference_golden(seed):
         if exact:
             np.testing.assert_array_equal(mine, ref_v, err_msg=key)
         else:
-            np.testing.assert_allclose(mine, ref_v, atol=2e-5,
+            # 1e-4: the blocked 2-tap resize (upsampling.py
+            # _resize_axis_linear) rounds f32 interpolation in a
+            # different (separable) order than torch's fused 4-tap
+            np.testing.assert_allclose(mine, ref_v, atol=1e-4,
                                        err_msg=key)
 
 
@@ -297,7 +300,7 @@ def test_dve_postproc_inference_golden(seed):
             if exact:
                 np.testing.assert_array_equal(mine, ref_v, err_msg=key)
             else:
-                np.testing.assert_allclose(mine, ref_v, atol=2e-5,
+                np.testing.assert_allclose(mine, ref_v, atol=1e-4,
                                            err_msg=key)
 
 

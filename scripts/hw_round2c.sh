@@ -59,5 +59,13 @@ run_step serve_defer4x 1800 python bench.py --defer4x
 #    107.5 f/s B48 -- find where the fwd+bwd time actually goes)
 run_step profile_train 2400 python scripts/profile_train.py --batch-size 48
 
+# 6. serving per-op profile at the current default program (the
+#    "where the time goes" PERF section is stale pre-finisher B32) and
+#    the EMSAFormer profile (192.6 f/s: is the Swin backbone itself
+#    MXU-bound, or is there another fixable layer?)
+run_step profile_serve 2400 python scripts/profile_bench.py --batch-size 256
+run_step profile_emsaformer 2400 \
+    python scripts/profile_bench.py --model emsaformer_dve_v2 --batch-size 128
+
 note "hw_round2c done; results in $LOG"
 grep -E '^\{|rc=' "$LOG" | tail -20

@@ -148,6 +148,52 @@ def _two_tap_params(n: int, m: int):
     return i0, f
 
 
+def _two_tap_plan(n: int, m: int):
+    """Periodic-block decomposition of the 2-tap resize n -> m:
+    (i0, f, g, q, p, periodic) with g = gcd(n, m) blocks of q source /
+    p output elements. When `periodic`, phase r (r < p) of every block
+    reads taps i0[r] + b*q (clamped) with weight f[r] -- so the resize
+    is p strided slices combined elementwise instead of a dense
+    (n, m) matmul. The periodicity re-check guards against float
+    rounding of the src coordinates in pathological cases."""
+    i0, f = _two_tap_params(n, m)
+    g = math.gcd(n, m)
+    q, p = n // g, m // g
+    periodic = (
+        p <= 32
+        and bool(np.all(i0.reshape(g, p)
+                        - np.arange(g)[:, None] * q == i0[:p]))
+        and bool(np.all(f.reshape(g, p) - f[:p] == 0.0))
+    )
+    return i0, f, g, q, p, periodic
+
+
+def _tap_slice(x, s: int, q: int, g: int, axis: int):
+    """Strided block slice of tap rows i = s + b*q, b in [0, g), with
+    out-of-range rows clamped to the edge. A 2-tap resize only ever
+    goes out of range at s == -1 (first block) or s + (g-1)*q == n
+    (last block); clamping is done by concatenating the single edge
+    row, NOT by edge-padding x -- jnp.pad materialized a full fullres
+    copy (7.5 GB at B128 eval, the OOM that motivated this)."""
+    n = x.shape[axis]
+    last = s + (g - 1) * q
+    if s < 0:
+        first = jax.lax.slice_in_dim(x, 0, 1, axis=axis)
+        if g == 1:
+            return first
+        rest = jax.lax.slice_in_dim(x, s + q, last + 1, stride=q,
+                                    axis=axis)
+        return jnp.concatenate([first, rest], axis=axis)
+    if last > n - 1:
+        lastv = jax.lax.slice_in_dim(x, n - 1, n, axis=axis)
+        if g == 1:
+            return lastv
+        rest = jax.lax.slice_in_dim(x, s, last - q + 1, stride=q,
+                                    axis=axis)
+        return jnp.concatenate([rest, lastv], axis=axis)
+    return jax.lax.slice_in_dim(x, s, last + 1, stride=q, axis=axis)
+
+
 def _resize_axis_linear(x, m: int, axis: int):
     """2-tap linear resize of one axis (n -> m), XLA-friendly.
 
@@ -159,8 +205,7 @@ def _resize_axis_linear(x, m: int, axis: int):
     q = n/g, p = m/g, g = gcd(n, m), so the resize is p strided
     slices combined with 2-tap weights -- pure elementwise VPU work
     that XLA can fuse into downstream consumers. Edge clamping is
-    reproduced exactly by edge-padding (a clamped tap and an
-    edge-replicated pad row are the same row).
+    reproduced exactly by `_tap_slice`.
 
     Falls back to a dense tensordot when the period is too long to
     unroll (p > 32)."""
@@ -168,17 +213,7 @@ def _resize_axis_linear(x, m: int, axis: int):
     if m == n:
         return x
     axis = axis % x.ndim
-    i0, f = _two_tap_params(n, m)
-    g = math.gcd(n, m)
-    q, p = n // g, m // g
-    # periodicity check (float rounding of src could break it in
-    # pathological cases; the dense path is always-correct)
-    periodic = (
-        p <= 32
-        and bool(np.all(i0.reshape(g, p)
-                        - np.arange(g)[:, None] * q == i0[:p]))
-        and bool(np.all(f.reshape(g, p) - f[:p] == 0.0))
-    )
+    i0, f, g, q, p, periodic = _two_tap_plan(n, m)
     if not periodic:
         R = np.zeros((n, m), np.float32)
         j = np.arange(m)
@@ -192,20 +227,15 @@ def _resize_axis_linear(x, m: int, axis: int):
                           precision=jax.lax.Precision.HIGHEST)
         return jnp.moveaxis(y, -1, axis)
 
-    pad_cfg = [(0, 0)] * x.ndim
-    pad_cfg[axis] = (1, 1)
-    xp = jnp.pad(x, pad_cfg, mode='edge')
     pieces = []
     for r in range(p):
-        s = int(i0[r]) + 1                     # xp[t] = x_clamped[t-1]
-        limit = s + (g - 1) * q + 1
-        a = jax.lax.slice_in_dim(xp, s, limit, stride=q, axis=axis)
+        s = int(i0[r])
+        a = _tap_slice(x, s, q, g, axis)
         w = float(f[r])
         if w == 0.0:
             pieces.append(a)
             continue
-        b = jax.lax.slice_in_dim(xp, s + 1, limit + 1, stride=q,
-                                 axis=axis)
+        b = _tap_slice(x, s + 1, q, g, axis)
         pieces.append(a * (1.0 - w) + b * w)
     y = jnp.stack(pieces, axis=axis + 1)       # (..., g, p, ...)
     return y.reshape(*x.shape[:axis], m, *x.shape[axis + 1:])
@@ -218,6 +248,76 @@ def resize_bilinear(x, height: int, width: int):
     F.interpolate default) where jax.image would antialias."""
     x = _resize_axis_linear(x, height, -3)
     return _resize_axis_linear(x, width, -2)
+
+
+def resized_channel_reduce(x, height: int, width: int, reduce_fn):
+    """`reduce_fn(resize_bilinear(x.astype(f32), height, width))`
+    without materializing the resized (B, height, width, C) tensor.
+
+    `reduce_fn` maps (B, h, w, C) -> tuple of (B, h, w) maps (e.g.
+    ops.pallas.semantic_reduce.semantic_score_idx). The resize is
+    computed per tap phase -- p_h * p_w independent elementwise
+    chains over strided slices, each feeding reduce_fn directly, so
+    XLA fuses slice+lerp+reduce per phase and the fullres class-logits
+    tensor never exists in HBM (at eval B128 it was 6.25 GB; with the
+    stack+pad temporaries it OOMed -- see PERF.md). The phase grids of
+    the already-reduced maps are then interleaved (cheap: C is gone).
+
+    Bit-identical to the materializing form: phases slice the same
+    elements, cast and combine in the same order (h taps, then w
+    taps), and reduce_fn sees the same per-pixel values.
+
+    Reference analogue: model/postprocessing/semantic.py:17-82
+    computes softmax/argmax of F.interpolate'd logits."""
+    B, n_h, n_w = x.shape[:3]
+    i0h, fh, g_h, q_h, p_h, per_h = _two_tap_plan(n_h, height)
+    i0w, fw, g_w, q_w, p_w, per_w = _two_tap_plan(n_w, width)
+    if height == n_h:
+        p_h, g_h = 1, n_h
+    if width == n_w:
+        p_w, g_w = 1, n_w
+    if (height != n_h and not per_h) or (width != n_w and not per_w):
+        # non-periodic sizes: the dense fallback is the only exact
+        # form; materialize like the plain path would
+        return reduce_fn(resize_bilinear(x.astype(jnp.float32),
+                                         height, width))
+
+    def h_phase(r):
+        if height == n_h:
+            return x.astype(jnp.float32)
+        a = _tap_slice(x, int(i0h[r]), q_h, g_h, 1).astype(jnp.float32)
+        w = float(fh[r])
+        if w == 0.0:
+            return a
+        b = _tap_slice(x, int(i0h[r]) + 1, q_h, g_h, 1)
+        return a * (1.0 - w) + b.astype(jnp.float32) * w
+
+    def w_phase(yh, r):
+        if width == n_w:
+            return yh
+        a = _tap_slice(yh, int(i0w[r]), q_w, g_w, 2)
+        w = float(fw[r])
+        if w == 0.0:
+            return a
+        b = _tap_slice(yh, int(i0w[r]) + 1, q_w, g_w, 2)
+        return a * (1.0 - w) + b * w
+
+    phase_outs = []                    # [p_h][p_w] tuples of (B, g, g)
+    for rh in range(p_h):
+        yh = h_phase(rh)
+        phase_outs.append([reduce_fn(w_phase(yh, rw))
+                           for rw in range(p_w)])
+
+    n_out = len(phase_outs[0][0])
+    maps = []
+    for k in range(n_out):
+        rows = jnp.stack(
+            [jnp.stack([phase_outs[rh][rw][k] for rw in range(p_w)],
+                       axis=-1)                    # (B, g_h, g_w, p_w)
+             for rh in range(p_h)],
+            axis=2)                                # (B, g_h, p_h, g_w, p_w)
+        maps.append(rows.reshape(B, height, width))
+    return tuple(maps)
 
 
 def _resize_axis_nearest(x, m: int, axis: int):

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 from ..data.preprocessing.resize import get_fullres_key
 from ..models.upsampling import (
     DEFERRED_TYPES, DeferredBilinear2, DeferredUpsampling2,
-    apply_deferred_upsampling,
+    apply_deferred_upsampling, resize_bilinear, resized_channel_reduce,
 )
 from ..ops.pallas.semantic_finisher import finish_deferred_semantic
 from ..ops.pallas.semantic_finisher4x import (
@@ -71,11 +71,14 @@ class SemanticPostprocessing(DensePostprocessingBase):
                 score_fr, idx_fr = score, idx
                 output_fullres = output
             else:
-                output_fullres = \
-                    self._crop_to_valid_region_and_resize_prediction(
-                        output, crop_slices, resize_shape,
-                        mode='bilinear')
-                score_fr, idx_fr = semantic_score_idx(output_fullres)
+                cropped = output[:, crop_slices[0], crop_slices[1], :]
+                # logits/softmax fullres keys: DCE'd unless consumed
+                output_fullres = resize_bilinear(
+                    cropped.astype(jnp.float32), *resize_shape)
+                # score/idx WITHOUT materializing the fullres logits
+                # (bit-identical to reducing output_fullres)
+                score_fr, idx_fr = resized_channel_reduce(
+                    cropped, *resize_shape, semantic_score_idx)
             r_dict.update({
                 get_fullres_key('semantic_output'): output_fullres,
                 get_fullres_key('semantic_softmax_scores'):
@@ -101,9 +104,16 @@ class SemanticPostprocessing(DensePostprocessingBase):
         })
 
         crop_slices, resize_shape = self._fullres_args(batch, 'semantic')
-        output_fullres = self._crop_to_valid_region_and_resize_prediction(
-            output, crop_slices, resize_shape, mode='bilinear')
-        score_fr, idx_fr = score_idx(output_fullres)
+        cropped = output[:, crop_slices[0], crop_slices[1], :]
+        # dense fullres logits/softmax keys: DCE'd unless consumed
+        output_fullres = resize_bilinear(
+            cropped.astype(jnp.float32), *resize_shape)
+        # score/idx per tap phase: the (B, H_full, W_full, C) logits
+        # tensor never materializes (it was 6.25 GB at eval B128 and
+        # the eval OOM driver -- PERF.md); bit-identical to reducing
+        # output_fullres
+        score_fr, idx_fr = resized_channel_reduce(
+            cropped, *resize_shape, score_idx)
         r_dict.update({
             get_fullres_key('semantic_output'): output_fullres,
             get_fullres_key('semantic_softmax_scores'):

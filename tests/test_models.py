@@ -177,6 +177,35 @@ def test_resize_bilinear_matches_torch(h0, w0, h1, w1):
         np.testing.assert_allclose(mine, viajax, atol=1e-5)
 
 
+@pytest.mark.parametrize('h0,w0,h1,w1', [
+    (30, 40, 32, 32),     # the bench eval ratio family (480x640->512x512)
+    (20, 32, 40, 56),     # upscale
+    (15, 20, 16, 16),     # mixed up/down
+    (24, 20, 17, 31),     # coprime -> dense fallback inside
+    (12, 16, 7, 5),       # downscale
+    (30, 40, 30, 40),     # identity
+])
+def test_resized_channel_reduce_matches_materializing_form(h0, w0, h1, w1):
+    """resized_channel_reduce computes reduce(resize(x)) per tap phase
+    (the fullres class-logits tensor never materializes -- it was the
+    eval-B128 OOM, PERF.md) and must be BIT-identical to reducing the
+    materialized resize: same slices, same cast/combine order."""
+    from nicr_mtsa_tpu.models.upsampling import (
+        resize_bilinear, resized_channel_reduce,
+    )
+    from nicr_mtsa_tpu.ops.pallas.semantic_reduce import (
+        semantic_score_idx,
+    )
+
+    x = jnp.asarray(np.random.default_rng(11).normal(
+        size=(2, h0, w0, 7)).astype(np.float32)).astype(jnp.bfloat16)
+    s_ref, i_ref = semantic_score_idx(
+        resize_bilinear(x.astype(jnp.float32), h1, w1))
+    s, i = resized_channel_reduce(x, h1, w1, semantic_score_idx)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    np.testing.assert_array_equal(np.asarray(s), np.asarray(s_ref))
+
+
 def _decoder_inputs(n_ctx=128):
     rng = np.random.default_rng(7)
 

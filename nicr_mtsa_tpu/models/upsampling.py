@@ -108,6 +108,134 @@ def apply_deferred_upsampling(d, dtype=None):
                               dtype or d.x.dtype)
 
 
+def _ileave(a, b, axis: int):
+    """Interleave two equal-shape arrays along `axis`:
+    out[2k] = a[k], out[2k+1] = b[k]."""
+    axis = axis % a.ndim
+    y = jnp.stack([a, b], axis=axis + 1)
+    return y.reshape(*a.shape[:axis], 2 * a.shape[axis],
+                     *a.shape[axis + 1:])
+
+
+def _zeropad_2x_phases_exact(xp, kt, bias, dtype):
+    """One learned-zeropad x2 stage with the finisher kernel's EXACT
+    numerics (ops/pallas/semantic_finisher.py `phase`): per output
+    phase (py, px), f32 tap accumulation in the kernel's (a, b) term
+    order over the padded input, round to `dtype`, add the f32 bias,
+    round again. xp: (B, H+2, W+2, C) pre-padded input; kt: (4, 4, C)
+    fused kernel already cast to the compute dtype. Returns
+    (B, 2H, 2W, C) in `dtype`."""
+    B, Hp, Wp, C = xp.shape
+    H, W = Hp - 2, Wp - 2
+    bias_f32 = (jnp.zeros((C,), jnp.float32) if bias is None
+                else bias.astype(dtype).astype(jnp.float32))
+
+    def phase(py, px):
+        acc = None
+        for a in (0, 1):
+            for b in (0, 1):
+                w = kt[2 * a + py, 2 * b + px].astype(jnp.float32)
+                t = w * xp[:, py + a:py + a + H,
+                           px + b:px + b + W].astype(jnp.float32)
+                acc = t if acc is None else acc + t
+        return (acc.astype(dtype).astype(jnp.float32)
+                + bias_f32).astype(dtype)
+
+    rows0 = _ileave(phase(0, 0), phase(0, 1), axis=2)
+    rows1 = _ileave(phase(1, 0), phase(1, 1), axis=2)
+    return _ileave(rows0, rows1, axis=1)
+
+
+def _finisher4x_logits_exact(x, kernel1, bias1, kernel2, bias2, *,
+                             edge: bool = False):
+    """Dense (B, 4H, 4W, C) logits with the EXACT numerics of the 4x
+    finisher kernel (ops/pallas/semantic_finisher4x.py): stage-1 phase
+    accumulation (including the stage-2 halo ring), rounding to the
+    compute dtype before and after each bias add, the zero-pad ring
+    applied AFTER the stage-1 bias (zeropad chain), or edge-padded
+    input with no ring masks (bilinear chain, edge=True)."""
+    B, H, W, C = x.shape
+    dt = x.dtype
+    k1t = fused_zeropad_2x_kernel(kernel1)[:, :, 0, :].astype(dt)
+    k2t = fused_zeropad_2x_kernel(kernel2)[:, :, 0, :].astype(dt)
+    b1 = (jnp.zeros((C,), jnp.float32) if bias1 is None
+          else bias1.astype(dt).astype(jnp.float32))
+    b2 = (jnp.zeros((C,), jnp.float32) if bias2 is None
+          else bias2.astype(dt).astype(jnp.float32))
+    pad_mode = 'edge' if edge else 'constant'
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode=pad_mode)
+
+    # stage 1 incl. the stage-2 halo ring: phase (py, px) evaluated at
+    # H+1 row / W+1 col positions (kernel `strip1` over q in
+    # [0, 2H+2)); ring rows/cols are the out-of-range phase values
+    # (edge chain) or get zeroed below (zeropad chain)
+    def s1(py, px):
+        acc = None
+        for a in (0, 1):
+            for b in (0, 1):
+                w = k1t[2 * a + py, 2 * b + px].astype(jnp.float32)
+                t = w * xp[:, a:a + H + 1,
+                           b:b + W + 1].astype(jnp.float32)
+                acc = t if acc is None else acc + t
+        return acc
+
+    # row q: q=0 -> (py=1)@0, q=2t+1 -> (py=0)@t, q=2t+2 -> (py=1)@t+1
+    # => rows = interleave(py=1, py=0); cols: odd phase first
+    def assemble(p11, p10, p01, p00):
+        cols1 = _ileave(p11, p10, axis=2)     # (B, H+1, 2W+2, C)
+        cols0 = _ileave(p01, p00, axis=2)
+        return _ileave(cols1, cols0, axis=1)  # (B, 2H+2, 2W+2, C)
+
+    inter = assemble(s1(1, 1), s1(1, 0), s1(0, 1), s1(0, 0))
+    inter = (inter.astype(dt).astype(jnp.float32) + b1)
+    if not edge:
+        ring = np.zeros((2 * H + 2, 2 * W + 2, 1), np.float32)
+        ring[1:-1, 1:-1] = 1.0
+        inter = inter * jnp.asarray(ring)
+    interf = inter.astype(dt).astype(jnp.float32)
+
+    # stage 2: phase (qy, qx) reads interf[qy+c : qy+c+2H,
+    # qx+d : qx+d+2W] (kernel `phase2`)
+    def s2(qy, qx):
+        acc = None
+        for c in (0, 1):
+            for d in (0, 1):
+                w = k2t[2 * c + qy, 2 * d + qx].astype(jnp.float32)
+                t = w * interf[:, qy + c:qy + c + 2 * H,
+                               qx + d:qx + d + 2 * W]
+                acc = t if acc is None else acc + t
+        return (acc.astype(dt).astype(jnp.float32) + b2).astype(dt)
+
+    rows0 = _ileave(s2(0, 0), s2(0, 1), axis=2)
+    rows1 = _ileave(s2(1, 0), s2(1, 1), axis=2)
+    return _ileave(rows0, rows1, axis=1)      # (B, 4H, 4W, C)
+
+
+def apply_deferred_upsampling_exact(d):
+    """Apply a deferred upsampling with numerics BIT-IDENTICAL to the
+    fused finisher kernels (ops/pallas/semantic_finisher{,4x}.py), so
+    `argmax(softmax(result))` always equals the kernels'
+    `semantic_segmentation_idx` — including on bf16 tie pixels where
+    the XLA conv twin's fused bias add keeps excess precision and can
+    flip the argmax (PERF.md). Used by postprocessing to emit the
+    on-demand dense logits/softmax keys in deferred mode; slightly
+    more ops than the conv form but DCE'd unless consumed."""
+    if isinstance(d, DeferredBilinear2):
+        C = d.x.shape[-1]
+        kernel = jnp.broadcast_to(
+            jnp.asarray(_BILINEAR_KERNEL)[:, :, None, None],
+            (3, 3, 1, C)).astype(jnp.float32)
+        return _finisher4x_logits_exact(d.x, kernel, None, kernel,
+                                        None, edge=True)
+    if isinstance(d, DeferredUpsampling2):
+        return _finisher4x_logits_exact(d.x, d.kernel1, d.bias1,
+                                        d.kernel2, d.bias2)
+    dt = d.x.dtype
+    kt = fused_zeropad_2x_kernel(d.kernel)[:, :, 0, :].astype(dt)
+    xp = jnp.pad(d.x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return _zeropad_2x_phases_exact(xp, kt, d.bias, dt)
+
+
 KNOWN_UPSAMPLING_METHODS = (
     'nearest', 'bilinear', 'learned-3x3', 'learned-3x3-zeropad',
 )
@@ -276,9 +404,13 @@ def resized_channel_reduce(x, height: int, width: int, reduce_fn):
         p_h, g_h = 1, n_h
     if width == n_w:
         p_w, g_w = 1, n_w
-    if (height != n_h and not per_h) or (width != n_w and not per_w):
-        # non-periodic sizes: the dense fallback is the only exact
-        # form; materialize like the plain path would
+    if ((height != n_h and not per_h) or (width != n_w and not per_w)
+            or p_h * p_w > 64):
+        # non-periodic sizes (dense fallback is the only exact form) or
+        # a phase grid too large to unroll (the p<=32 gate is per-axis;
+        # an unlucky ratio pair could otherwise emit up to 1024
+        # slice+lerp+reduce chains in the unrolled HLO): materialize
+        # like the plain path would
         return reduce_fn(resize_bilinear(x.astype(jnp.float32),
                                          height, width))
 

@@ -209,9 +209,13 @@ def finish_deferred_semantic(deferred, *, interpret: bool = False):
     """(idx int32, score f32), both (B, 2H, 2W), for a semantic head's
     DeferredUpsampling output. Dispatches to the fused Pallas kernel
     when the backend and shapes allow; otherwise (CPU tests, odd
-    shapes) falls back to the exact XLA twin. bf16 results may deviate
-    from the conv path on bf16-tie pixels only (< 0.5 %% measured;
-    exact under f32 -- see tests/test_ops.py)."""
+    shapes) falls back to `apply_deferred_upsampling_exact` + reduce --
+    the kernel's exact phase math in plain XLA elementwise ops (NOT the
+    conv twin: oneDNN CPU / default-precision TPU convs are
+    reduced-precision and would break within-dict consistency with the
+    on-demand dense keys, tests/test_deferred_consistency.py)."""
+    from ...models.upsampling import apply_deferred_upsampling_exact
+    from .semantic_reduce import semantic_score_idx
     x, kernel, bias = deferred.x, deferred.kernel, deferred.bias
     B, H, W, C = x.shape
     if bias is None:
@@ -223,4 +227,6 @@ def finish_deferred_semantic(deferred, *, interpret: bool = False):
     if use_pallas:
         return upsample2x_argmax_score(x, kernel, bias,
                                        interpret=interpret)
-    return upsample2x_argmax_score_reference(x, kernel, bias)
+    score, idx = semantic_score_idx(
+        apply_deferred_upsampling_exact(deferred).astype(jnp.float32))
+    return idx, score

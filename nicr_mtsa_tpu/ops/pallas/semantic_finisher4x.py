@@ -241,8 +241,13 @@ def upsample4x_argmax_score(
 def finish_deferred_semantic2(deferred, *, interpret: bool = False):
     """(idx int32, score f32), both (B, 4H, 4W), for a semantic head's
     DeferredUpsampling2 output. Dispatches to the fused 4x Pallas
-    kernel when the backend and shapes allow; otherwise falls back to
-    the exact two-conv XLA twin (CPU tests, odd shapes)."""
+    kernel when the backend and shapes allow; otherwise (CPU tests,
+    odd shapes) falls back to `apply_deferred_upsampling_exact` +
+    reduce -- the kernel's exact phase math in plain XLA elementwise
+    ops (NOT the conv twin: reduced-precision convs would break
+    within-dict consistency with the on-demand dense keys)."""
+    from ...models.upsampling import apply_deferred_upsampling_exact
+    from .semantic_reduce import semantic_score_idx
     x = deferred.x
     B, H, W, C = x.shape
     b1 = deferred.bias1
@@ -259,8 +264,9 @@ def finish_deferred_semantic2(deferred, *, interpret: bool = False):
         return upsample4x_argmax_score(
             x, deferred.kernel1, b1, deferred.kernel2, b2,
             interpret=interpret)
-    return upsample4x_argmax_score_reference(
-        x, deferred.kernel1, b1, deferred.kernel2, b2)
+    score, idx = semantic_score_idx(
+        apply_deferred_upsampling_exact(deferred).astype(jnp.float32))
+    return idx, score
 
 
 def upsample4x_argmax_score_reference(x, kernel1, bias1, kernel2, bias2,
@@ -320,7 +326,11 @@ def upsample4x_bilinear_argmax_score(
 def finish_deferred_bilinear2(deferred, *, interpret: bool = False):
     """(idx int32, score f32), both (B, 4H, 4W), for a semantic head's
     DeferredBilinear2 output. Fused Pallas kernel when the backend and
-    shapes allow; exact two-resize XLA twin otherwise."""
+    shapes allow; otherwise the kernel-exact phase twin
+    (`apply_deferred_upsampling_exact`) + reduce, keeping idx
+    consistent with the on-demand dense keys."""
+    from ...models.upsampling import apply_deferred_upsampling_exact
+    from .semantic_reduce import semantic_score_idx
     x = deferred.x
     B, H, W, C = x.shape
     use_pallas = interpret or (
@@ -329,7 +339,9 @@ def finish_deferred_bilinear2(deferred, *, interpret: bool = False):
         and C % 8 == 0)    # sublane-aligned class axis (DMA tiling)
     if use_pallas:
         return upsample4x_bilinear_argmax_score(x, interpret=interpret)
-    return upsample4x_bilinear_reference(x)
+    score, idx = semantic_score_idx(
+        apply_deferred_upsampling_exact(deferred).astype(jnp.float32))
+    return idx, score
 
 
 def upsample4x_bilinear_reference(x):

@@ -13,7 +13,8 @@ import jax.numpy as jnp
 from ..data.preprocessing.resize import get_fullres_key
 from ..models.upsampling import (
     DEFERRED_TYPES, DeferredBilinear2, DeferredUpsampling2,
-    apply_deferred_upsampling, resize_bilinear, resized_channel_reduce,
+    apply_deferred_upsampling, apply_deferred_upsampling_exact,
+    resize_bilinear, resized_channel_reduce,
 )
 from ..ops.pallas.semantic_finisher import finish_deferred_semantic
 from ..ops.pallas.semantic_finisher4x import (
@@ -40,9 +41,14 @@ class SemanticPostprocessing(DensePostprocessingBase):
         deferred = None
         if isinstance(output, DEFERRED_TYPES):
             deferred = output
-            # lazily-applied conv twin: DCE'd unless a consumer reads
-            # the dense logits/softmax keys
-            output = apply_deferred_upsampling(deferred)
+            # lazily-applied twin with the finisher kernels' EXACT
+            # rounding semantics (DCE'd unless a consumer reads the
+            # dense logits/softmax keys): guarantees
+            # argmax(semantic_softmax_scores) ==
+            # semantic_segmentation_idx within one output dict even on
+            # bf16 tie pixels, where the XLA conv twin's fused bias
+            # add keeps excess precision and could flip the argmax
+            output = apply_deferred_upsampling_exact(deferred)
 
         r_dict = {'semantic_output': output,
                   'semantic_side_outputs': side_outputs}
@@ -105,15 +111,23 @@ class SemanticPostprocessing(DensePostprocessingBase):
 
         crop_slices, resize_shape = self._fullres_args(batch, 'semantic')
         cropped = output[:, crop_slices[0], crop_slices[1], :]
-        # dense fullres logits/softmax keys: DCE'd unless consumed
-        output_fullres = resize_bilinear(
-            cropped.astype(jnp.float32), *resize_shape)
-        # score/idx per tap phase: the (B, H_full, W_full, C) logits
-        # tensor never materializes (it was 6.25 GB at eval B128 and
-        # the eval OOM driver -- PERF.md); bit-identical to reducing
-        # output_fullres
-        score_fr, idx_fr = resized_channel_reduce(
-            cropped, *resize_shape, score_idx)
+        if tuple(resize_shape) == cropped.shape[1:3]:
+            # nothing to resize: keep the cropped tensor's dtype (the
+            # reference's dense_base.py 'nothing to do' branch returns
+            # the input unchanged; an unconditional f32 upcast doubled
+            # HBM for bf16 consumers)
+            output_fullres = cropped
+            score_fr, idx_fr = score_idx(cropped.astype(jnp.float32))
+        else:
+            # dense fullres logits/softmax keys: DCE'd unless consumed
+            output_fullres = resize_bilinear(
+                cropped.astype(jnp.float32), *resize_shape)
+            # score/idx per tap phase: the (B, H_full, W_full, C)
+            # logits tensor never materializes (it was 6.25 GB at eval
+            # B128 and the eval OOM driver -- PERF.md); bit-identical
+            # to reducing output_fullres
+            score_fr, idx_fr = resized_channel_reduce(
+                cropped, *resize_shape, score_idx)
         r_dict.update({
             get_fullres_key('semantic_output'): output_fullres,
             get_fullres_key('semantic_softmax_scores'):

@@ -192,11 +192,18 @@ def run_eval_bench(args, model, H, W, n_classes, is_thing):
     # old OOM source with them; hardware sweep: 32 -> 204.7,
     # 64 -> 244.7, 128 -> 296.7 f/s (see PERF.md)
     B = args.batch_size or (2 if args.quick else 128)
-    samples = []
-    for i in range(B):
-        s = get_dummy_sample()
-        s['scene'] = (i % 9) + 1
-        samples.append(pre(s))
+    if getattr(args, 'dataset', None):
+        # real data: cycle the split to fill the batch (reference
+        # sample interface via data/dataset.py DirectoryRGBDDataset)
+        from nicr_mtsa_tpu.data.dataset import get_dataset
+        ds = get_dataset(args.dataset, split=args.dataset_split)
+        samples = [pre(dict(ds[i % len(ds)])) for i in range(B)]
+    else:
+        samples = []
+        for i in range(B):
+            s = get_dummy_sample()
+            s['scene'] = (i % 9) + 1
+            samples.append(pre(s))
     batch = mt_collate(samples)
 
     static_batch = {
@@ -227,6 +234,18 @@ def run_eval_bench(args, model, H, W, n_classes, is_thing):
     float(np.asarray(states['semantic'][0, 0]))
     dt = time.perf_counter() - t0
     fps = B * iters / dt
+
+    if getattr(args, 'dataset', None):
+        # report the real-data metric values accumulated on device
+        # (each eval step re-counts the same batch `iters + 1` times;
+        # mIoU/PQ are ratios, so repetition cancels out)
+        for name, helper in pipeline.task_helpers.items():
+            if name in states and hasattr(helper, 'load_metric_states'):
+                helper.load_metric_states(states[name])
+                _, _, logs = helper.validation_epoch_end()
+                for k, v in sorted(logs.items()):
+                    print(f'# {k}: {float(v):.4f}', file=sys.stderr)
+
     print(json.dumps({
         'metric': 'multitask_eval_frames_per_sec_per_chip_640x480'
                   if not args.quick else
@@ -374,6 +393,12 @@ def main():
                         help='serving: use the single-stage fused '
                              'finisher (final upsample only) instead '
                              'of the 4x finisher')
+    parser.add_argument('--dataset', default='',
+                        help='--eval only: path to a directory dataset '
+                             '(nicr_mtsa_tpu/data/dataset.py layout); '
+                             'evaluates real samples and reports the '
+                             'accumulated mIoU/PQ values')
+    parser.add_argument('--dataset-split', default='valid')
     parser.add_argument('--attn-chunk', type=int, default=0,
                         help='images per Swin window-attention chunk '
                              '(0 = whole batch); bounds attention '
@@ -398,6 +423,20 @@ def main():
     H, W = (128, 160) if args.quick else (480, 640)
     n_classes = 40                        # NYUv2-40, without void
     is_thing = tuple(i < 8 for i in range(n_classes))   # 8 thing classes
+
+    if args.dataset:
+        # real data: the dataset's class inventory drives the model
+        # heads and metric tables
+        from nicr_mtsa_tpu.data.dataset import DirectoryRGBDDataset
+        if not DirectoryRGBDDataset.is_available(args.dataset):
+            sys.exit(f'--dataset: no dataset at {args.dataset!r} '
+                     '(missing meta.json)')
+        ds_cfg = DirectoryRGBDDataset(
+            args.dataset, split=args.dataset_split,
+            sample_keys=('rgb',)).config
+        without_void = ds_cfg.semantic_label_list_without_void
+        n_classes = len(without_void)
+        is_thing = without_void.classes_is_thing
 
     if args.model == 'emsanet-bench':
         config = MultiTaskModelConfig(

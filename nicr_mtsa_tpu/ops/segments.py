@@ -94,19 +94,57 @@ def ids_to_slots(ids: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
     """Map pixel ids (B, P) to slots in a sorted unique table (B, S);
     ids not in the table (incl. -1 padding) map to S.
 
-    Formulated as a broadcast compare-count, NOT searchsorted:
-    jnp.searchsorted lowers to a per-element binary-search while loop
-    on TPU (measured 90-150 ms per call at (8, 307200)x128 inside the
-    fused eval step -- ~95%% of the whole step). The count of
-    table entries < id IS the searchsorted('left') slot, and for a
-    sorted unique table it equals the match index when the id is
-    present; one fused compare+reduce pass over (B, P, S) runs at
-    vector speed (~1 ms for the same shapes)."""
+    Formulated as compare-counts, NOT searchsorted: jnp.searchsorted
+    lowers to a per-element binary-search while loop on TPU (measured
+    90-150 ms per call at (8, 307200)x128 inside the fused eval step
+    -- ~95%% of the whole step). The count of table entries < id IS
+    the searchsorted('left') slot, and for a sorted unique table it
+    equals the match index when the id is present.
+
+    For tables larger than one bucket the compare-count runs in TWO
+    levels (a vectorized 16-ary search): level 1 counts bucket FIRST
+    entries <= id over the S/16 bucket boundaries; the bucket's 16
+    entries are then fetched per pixel with a one-hot MXU matmul (no
+    big-index gather -- PERF.md lesson 1) and level 2 counts within
+    the bucket. Entries before the bucket are all < id (sorted unique
+    table), so slot = bucket*16 + within, exactly the flat
+    compare-count; equality can only occur inside the bucket, so
+    membership needs only the 16 fetched entries. This cuts the
+    per-pixel compare work from 2*S to ~2*(S/16 + 16) + a small
+    matmul: the flat form's four (B, P, S) compare/convert reduce
+    fusions were ~92 ms of the B128 fused eval step (S=256/128 at
+    P=512*512); the bucketed form measures ~22 ms.
+
+    Table values are compared in f32 (exact: real ids < 2^24; the
+    SEGMENT_TABLE_PAD sentinel rounds to 2^31, still larger than any
+    id and never equal to one)."""
     S = table.shape[-1]
-    t = table[:, None, :]                          # (B, 1, S)
-    i = ids.astype(jnp.int32)[:, :, None]          # (B, P, 1)
-    slot = jnp.sum(t < i, axis=-1).astype(jnp.int32)
-    found = jnp.any(t == i, axis=-1)
+    i32 = ids.astype(jnp.int32)
+    if S <= 32 or S % 16 != 0:
+        t = table[:, None, :]                      # (B, 1, S)
+        i = i32[:, :, None]                        # (B, P, 1)
+        slot = jnp.sum(t < i, axis=-1).astype(jnp.int32)
+        found = jnp.any(t == i, axis=-1)
+        return jnp.where(found, slot, S)
+
+    BUCKET = 16
+    nb = S // BUCKET
+    B = table.shape[0]
+    idf = i32.astype(jnp.float32)[:, :, None]      # (B, P, 1)
+    bounds = table[:, ::BUCKET].astype(jnp.float32)  # (B, nb)
+    bucket = jnp.sum(bounds[:, None, :] <= idf, axis=-1) - 1
+    bucket = jnp.maximum(bucket, 0).astype(jnp.int32)   # (B, P)
+
+    # fetch the bucket's entries: one-hot selection on the MXU (bf16
+    # 0/1 one-hots x f32 values, f32 accumulation -> exact selection)
+    oh = jax.nn.one_hot(bucket, nb, dtype=jnp.bfloat16)
+    tb = table.reshape(B, nb, BUCKET).astype(jnp.float32)
+    fetched = jnp.einsum('bpn,bnk->bpk', oh, tb,
+                         preferred_element_type=jnp.float32)
+
+    within = jnp.sum(fetched < idf, axis=-1).astype(jnp.int32)
+    found = jnp.any(fetched == idf, axis=-1)
+    slot = bucket * BUCKET + within
     return jnp.where(found, slot, S)
 
 

@@ -81,6 +81,11 @@ class NormalTaskHelper(TaskHelperBase):
             state, predictions_post[get_fullres_key('normal_output')],
             target, mask=_get_valid_gt_normals(target))
 
+    def load_metric_states(self, state):
+        """Adopt fused-eval states so validation_epoch_end reports
+        them."""
+        self._metric_rmse.state = state
+
     @append_profile_to_logs('normal_step_time')
     @append_detached_losses_to_logs()
     def validation_step(self, batch, batch_idx, predictions_post):

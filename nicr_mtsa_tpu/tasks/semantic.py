@@ -102,6 +102,11 @@ class SemanticTaskHelper(TaskHelperBase):
         cm = cm.at[0, 0].add(-jnp.sum(~valid).astype(cm.dtype))
         return state + cm
 
+    def load_metric_states(self, state):
+        """Adopt fused-eval states so validation_epoch_end reports
+        them."""
+        self._metric_iou.state = state
+
     @append_profile_to_logs('semantic_step_time')
     @append_detached_losses_to_logs()
     def validation_step(self, batch, batch_idx, predictions_post):

@@ -150,6 +150,26 @@ def main():
                            key=lambda kv: -kv[1])[:args.top]:
         print(f'{ms:9.3f} ms  {100 * ms / total:5.1f}%  {name[:120]}')
 
+    # rollup by op family. async copy-start/done durations measure
+    # issue->completion and alias the producers they wait on, so the
+    # rollup separates them from real compute
+    import re
+    fam = defaultdict(lambda: [0.0, 0])
+    for name, ms in per_op.items():
+        m = re.match(r'%([a-zA-Z_\-]+[a-zA-Z_])', name)
+        key = m.group(1) if m else name[:30]
+        fam[key][0] += ms
+        fam[key][1] += 1
+    async_ms = sum(v for k, (v, _) in fam.items()
+                   if k.startswith(('copy-start', 'copy-done')))
+    print(f'\n-- rollup (compute total '
+          f'{total - async_ms:.1f} ms; async-copy wait '
+          f'{async_ms:.1f} ms aliases producers) --')
+    for key, (ms, n) in sorted(fam.items(), key=lambda kv: -kv[1][0]):
+        if ms < 1.0:
+            continue
+        print(f'{ms:9.3f} ms  x{n:<4d} {key}')
+
 
 if __name__ == '__main__':
     main()

@@ -230,6 +230,37 @@ def test_unique_table_and_slots():
             assert table[b][slots[b, p]] == ids[b, p]
 
 
+def test_ids_to_slots_bucketed_matches_flat():
+    # the two-level (bucketed) compare-count must be EXACTLY the flat
+    # searchsorted-left semantics: present ids -> match index, missing
+    # ids (incl. bucket-boundary neighbors and beyond-table values)
+    # -> S. Covers both bucketed table sizes used by PQ (256 gt, 128
+    # pred) and the small-table flat path.
+    rng = np.random.default_rng(11)
+    for S in (16, 128, 256):
+        vals = np.sort(rng.choice(3_000_000, size=max(8, S - 40),
+                                  replace=False))
+        table = np.full((2, S), SEGMENT_TABLE_PAD, np.int32)
+        table[0, :len(vals)] = vals
+        table[1, :len(vals)] = np.sort(
+            rng.choice(3_000_000, size=len(vals), replace=False))
+        # mix of present ids, near-miss ids, and extremes
+        present = table[:, :len(vals)]
+        picks = present[:, rng.integers(0, len(vals), 300)]
+        near = picks + rng.choice([-1, 1], size=picks.shape)
+        ids = np.concatenate(
+            [picks, near,
+             np.zeros((2, 4), np.int32),
+             np.full((2, 4), 2 ** 24 - 1, np.int32)], axis=1)
+        got = np.asarray(ids_to_slots(jnp.asarray(ids),
+                                      jnp.asarray(table)))
+        for b in range(2):
+            expect = np.searchsorted(table[b], ids[b], side='left')
+            member = np.isin(ids[b], table[b])
+            expect = np.where(member, expect, S)
+            np.testing.assert_array_equal(got[b], expect)
+
+
 def test_intersection_matrix():
     rng = np.random.default_rng(4)
     gt = rng.integers(0, 5, (1, 300))

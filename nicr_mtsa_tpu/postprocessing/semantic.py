@@ -16,12 +16,30 @@ from ..models.upsampling import (
     apply_deferred_upsampling, apply_deferred_upsampling_exact,
     resize_bilinear, resized_channel_reduce,
 )
+from ..ops.pallas.resize_reduce import (
+    crop_resize_argmax_score, resize_reduce_supported,
+)
 from ..ops.pallas.semantic_finisher import finish_deferred_semantic
 from ..ops.pallas.semantic_finisher4x import (
     finish_deferred_bilinear2, finish_deferred_semantic2,
 )
 from ..ops.pallas.semantic_reduce import semantic_score_idx
 from .base import DensePostprocessingBase
+
+
+def _fullres_score_idx(output, crop_slices, resize_shape, score_idx):
+    """Fullres (score, idx) from working-res logits: the fused Pallas
+    crop+resize+reduce kernel when the backend/shapes allow (argmax
+    bit-identical, ~150 ms/step and four ~800 MB phase temporaries
+    cheaper at the B128 eval shape -- PERF.md), else the blocked
+    XLA phase decomposition."""
+    if resize_reduce_supported(output.shape, crop_slices,
+                               *resize_shape):
+        idx_fr, score_fr = crop_resize_argmax_score(
+            output, crop_slices, *resize_shape)
+        return score_fr, idx_fr
+    cropped = output[:, crop_slices[0], crop_slices[1], :]
+    return resized_channel_reduce(cropped, *resize_shape, score_idx)
 
 
 class SemanticPostprocessing(DensePostprocessingBase):
@@ -83,8 +101,9 @@ class SemanticPostprocessing(DensePostprocessingBase):
                     cropped.astype(jnp.float32), *resize_shape)
                 # score/idx WITHOUT materializing the fullres logits
                 # (bit-identical to reducing output_fullres)
-                score_fr, idx_fr = resized_channel_reduce(
-                    cropped, *resize_shape, semantic_score_idx)
+                score_fr, idx_fr = _fullres_score_idx(
+                    output, crop_slices, resize_shape,
+                    semantic_score_idx)
             r_dict.update({
                 get_fullres_key('semantic_output'): output_fullres,
                 get_fullres_key('semantic_softmax_scores'):
@@ -122,12 +141,12 @@ class SemanticPostprocessing(DensePostprocessingBase):
             # dense fullres logits/softmax keys: DCE'd unless consumed
             output_fullres = resize_bilinear(
                 cropped.astype(jnp.float32), *resize_shape)
-            # score/idx per tap phase: the (B, H_full, W_full, C)
-            # logits tensor never materializes (it was 6.25 GB at eval
-            # B128 and the eval OOM driver -- PERF.md); bit-identical
-            # to reducing output_fullres
-            score_fr, idx_fr = resized_channel_reduce(
-                cropped, *resize_shape, score_idx)
+            # score/idx WITHOUT materializing the (B, H_full, W_full,
+            # C) logits tensor (it was 6.25 GB at eval B128 and the
+            # eval OOM driver -- PERF.md); bit-identical to reducing
+            # output_fullres
+            score_fr, idx_fr = _fullres_score_idx(
+                output, crop_slices, resize_shape, score_idx)
         r_dict.update({
             get_fullres_key('semantic_output'): output_fullres,
             get_fullres_key('semantic_softmax_scores'):

@@ -138,9 +138,9 @@ def _read_image(path: str) -> np.ndarray:
         return np.load(path)
     from PIL import Image
     img = Image.open(path)
-    arr = np.asarray(img)
-    if arr.dtype == np.int32:       # PIL mode 'I' (16/32-bit png)
-        arr = arr.astype(np.uint16)
+    arr = np.array(img)             # writable copy (preprocessors
+    if arr.dtype == np.int32:       # mutate samples in place)
+        arr = arr.astype(np.uint16)  # PIL mode 'I' (16/32-bit png)
     return arr
 
 

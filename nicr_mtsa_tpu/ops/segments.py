@@ -135,12 +135,20 @@ def ids_to_slots(ids: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
     bucket = jnp.sum(bounds[:, None, :] <= idf, axis=-1) - 1
     bucket = jnp.maximum(bucket, 0).astype(jnp.int32)   # (B, P)
 
-    # fetch the bucket's entries: one-hot selection on the MXU (bf16
-    # 0/1 one-hots x f32 values, f32 accumulation -> exact selection)
-    oh = jax.nn.one_hot(bucket, nb, dtype=jnp.bfloat16)
+    # fetch the bucket's entries: one-hot selection on the MXU. The
+    # selection matmul must run at HIGHEST precision -- it routes
+    # table VALUES (up to 2^31) through the product, and the default
+    # one-bf16-pass matmul (TPU) / oneDNN reduced precision (CPU)
+    # rounds them (e.g. 131073 -> 131072), silently breaking the
+    # equality membership test (CLAUDE.md selection-matrix lesson;
+    # caught by the full-system parity test's missing FN counts).
+    # Count-style one-hot einsums (intersection_matrix,
+    # merged_segment_table) are safe: their VALUES are 0/1.
+    oh = jax.nn.one_hot(bucket, nb, dtype=jnp.float32)
     tb = table.reshape(B, nb, BUCKET).astype(jnp.float32)
     fetched = jnp.einsum('bpn,bnk->bpk', oh, tb,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
 
     within = jnp.sum(fetched < idf, axis=-1).astype(jnp.int32)
     found = jnp.any(fetched == idf, axis=-1)

@@ -238,8 +238,13 @@ def test_ids_to_slots_bucketed_matches_flat():
     # pred) and the small-table flat path.
     rng = np.random.default_rng(11)
     for S in (16, 128, 256):
+        # odd ids > 2^16 (panoptic class*65536 + instance): NOT bf16-
+        # representable, so any reduced-precision pass through the
+        # bucket-fetch selection matmul corrupts them and this test
+        # catches it (the exact failure the full-system parity test
+        # first surfaced: 131073 -> bf16 -> 131072, membership lost)
         vals = np.sort(rng.choice(3_000_000, size=max(8, S - 40),
-                                  replace=False))
+                                  replace=False)) * 2 + 65537
         table = np.full((2, S), SEGMENT_TABLE_PAD, np.int32)
         table[0, :len(vals)] = vals
         table[1, :len(vals)] = np.sort(

@@ -399,6 +399,11 @@ def main():
                              'evaluates real samples and reports the '
                              'accumulated mIoU/PQ values')
     parser.add_argument('--dataset-split', default='valid')
+    parser.add_argument('--remat', action='store_true',
+                        help='gradient-checkpoint transformer backbone '
+                             'blocks (recompute in backward; lifts the '
+                             'train-batch activation ceiling, parameter '
+                             'tree unchanged)')
     parser.add_argument('--attn-chunk', type=int, default=0,
                         help='images per Swin window-attention chunk '
                              '(0 = whole batch); bounds attention '
@@ -484,6 +489,9 @@ def main():
                 and config.backbone_rgbd.startswith('swin'):
             config = dataclasses.replace(
                 config, backbone_attn_chunk_size=args.attn_chunk)
+        if args.remat and config.backbone_rgbd \
+                and config.backbone_rgbd.startswith('swin'):
+            config = dataclasses.replace(config, backbone_remat=True)
     model = build_model(config)
 
     post = PanopticPostprocessing(

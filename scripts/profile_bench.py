@@ -139,6 +139,22 @@ def main():
     for name, ms in sorted(per_op.items(), key=lambda kv: -kv[1])[:args.top]:
         print(f'{ms:9.3f} ms  {100 * ms / total:5.1f}%  {name[:110]}')
 
+    # rollup by op family (async copy durations alias their producers)
+    import re
+    fam = defaultdict(lambda: [0.0, 0])
+    for name, ms in per_op.items():
+        mm = re.match(r'%([a-zA-Z_\-]+[a-zA-Z_])', name)
+        key = mm.group(1) if mm else name[:30]
+        fam[key][0] += ms
+        fam[key][1] += 1
+    async_ms = sum(v for k, (v, _) in fam.items()
+                   if k.startswith(('copy-start', 'copy-done')))
+    print(f'\n-- rollup (compute total {total - async_ms:.1f} ms; '
+          f'async-copy wait {async_ms:.1f} ms aliases producers) --')
+    for key, (ms, n) in sorted(fam.items(), key=lambda kv: -kv[1][0]):
+        if ms >= 1.0:
+            print(f'{ms:9.3f} ms  x{n:<4d} {key}')
+
 
 if __name__ == '__main__':
     main()

@@ -14,14 +14,32 @@ the only collective per MLP is the psum XLA inserts after fc2. With
 GSPMD there is no hand-written collective code: parameters are
 placed with `NamedSharding`s and the partitioner propagates.
 
-Coverage: Swin block MLPs (`mlp_fc1`/`mlp_fc2`, hidden = 4C up to
-4096 for swin-b stage 4) and the SegFormer-style decoder fusion MLPs.
-Everything else (convs, attention, norms) stays replicated on
-`model` -- sharding those would trade one psum for per-layer
-resharding at these channel widths.
+Coverage (complete, by design): Swin block MLPs (`mlp_fc1`/`mlp_fc2`,
+hidden = 4C up to 4096 for swin-b stage 4) -- the only layers in the
+library with a Megatron-shaped expansion pair wide enough to shard.
+
+Evaluated and DE-SCOPED (round 3):
+- Attention qkv/proj: the qkv projection is a single FUSED (C, 3C)
+  kernel whose contiguous `model` chunks straddle the q/k/v (and
+  head) boundaries, so column-sharding it forces a reshard at the
+  `qkv[..., :C]` splits; and the production attention is a Pallas
+  custom call, which the SPMD partitioner replicates around anyway.
+  Head-parallel attention would need per-tensor q/k/v parameters and
+  an attention kernel invoked under shard_map -- real engineering for
+  a layer whose activations (<= (Bw, 64, 1024) bf16) fit a single
+  chip at every supported batch size.
+- Conv channels (ResNet blocks, decoder modules): widest channel dim
+  is 512; sharding a 3x3 conv pair over `model` trades one psum for
+  BN-state resharding between the convs at widths where the MXU is
+  already underfed. Data parallelism dominates for every model in
+  BENCH_CONFIGS (they fit on one chip with batch >= 256).
+
+The SegFormer-style decoder MLPs have no fc1/fc2 expansion pair
+(embed -> upsample -> concat -> fuse), so MLP TP does not apply there.
 
 Forward/gradient equality vs the replicated run is tested on the
-virtual CPU mesh (tests/test_parallel.py)."""
+virtual CPU mesh (tests/test_parallel.py); the driver's
+dryrun_multichip exercises the ('data', 'model') mesh end to end."""
 from typing import Tuple
 
 import jax

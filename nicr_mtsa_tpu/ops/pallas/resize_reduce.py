@@ -32,11 +32,9 @@ XLA twin computes exp(max - logsumexp) = 1/sum(exp(l - max)) through
 log/exp rounding).
 """
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

@@ -376,11 +376,16 @@ def test_training_learns_segmentation():
 def test_deferred_semantic_upsampling_pipeline_equivalence(deferred_mode):
     """A model built with `defer_semantic_prediction_upsampling` in any
     mode (True = fuse last upsample, 'all' = fuse both) must (a) accept
-    the standard model's parameter pytree verbatim and (b) produce
-    identical serving-pipeline outputs (the deferred paths dispatch to
-    the exact XLA twins on CPU; on-TPU kernel parity is covered by
-    tests/test_ops.py, tests/test_finisher4x.py + hardware runs,
-    PERF.md)."""
+    the standard model's parameter pytree verbatim and (b) reproduce
+    the serving-pipeline outputs: integer maps exactly, float scores to
+    fp noise. Since round 3 the deferred fallback reduces the
+    kernel-exact phase twin (apply_deferred_upsampling_exact) rather
+    than re-running the standard conv chain -- guaranteeing
+    argmax(softmax) == idx within one dict
+    (tests/test_deferred_consistency.py) at the price of ulp-level
+    score differences vs the conv path here. On-TPU kernel parity is
+    covered by tests/test_ops.py, tests/test_finisher4x.py + hardware
+    runs (PERF.md)."""
     from nicr_mtsa_tpu.pipeline import PanopticInferencePipeline
     from nicr_mtsa_tpu.postprocessing import (
         InstancePostprocessing, PanopticPostprocessing,
@@ -438,9 +443,13 @@ def test_deferred_semantic_upsampling_pipeline_equivalence(deferred_mode):
     out_def = pipe_def(variables, rgb, depth)
     assert set(out_std) == set(out_def)
     for key in out_std:
-        np.testing.assert_array_equal(
-            np.asarray(out_std[key]), np.asarray(out_def[key]),
-            err_msg=key)
+        a = np.asarray(out_std[key])
+        b = np.asarray(out_def[key])
+        if np.issubdtype(a.dtype, np.integer) or a.dtype == bool:
+            np.testing.assert_array_equal(a, b, err_msg=key)
+        else:
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6,
+                                       err_msg=key)
 
 
 @pytest.mark.parametrize('deferred_mode', [True, 'all', 'bilinear-all'])

@@ -165,27 +165,14 @@ def _install_stub_modules() -> None:
         sys.modules['torchvision.models.swin_transformer'] = swin
         sys.modules['torchvision.ops'] = ops
 
-    # --- torchmetrics.Metric ---------------------------------------
+    # --- torchmetrics: reuse the golden harness's stub (it also
+    # provides ConfusionMatrix for the reference task helpers; both
+    # reference-import mechanisms must share ONE sys.modules entry --
+    # a leaner stub here broke the golden-infra tests when this shim
+    # installed first in a full-suite run) -------------------------
     if 'torchmetrics' not in sys.modules:
-        tm = types.ModuleType('torchmetrics')
-
-        class Metric(torch.nn.Module):
-            full_state_update = False
-
-            def __init__(self, **kwargs):
-                super().__init__()
-                self._state_defaults = {}
-
-            def add_state(self, name, default, dist_reduce_fx=None):
-                self._state_defaults[name] = default.clone()
-                setattr(self, name, default)
-
-            def reset(self):
-                for k, v in self._state_defaults.items():
-                    setattr(self, k, v.clone())
-
-        tm.Metric = Metric
-        sys.modules['torchmetrics'] = tm
+        from test_reference_golden import _ensure_stub_torchmetrics
+        _ensure_stub_torchmetrics()
 
 
 def import_reference():

@@ -399,6 +399,10 @@ def main():
                              'evaluates real samples and reports the '
                              'accumulated mIoU/PQ values')
     parser.add_argument('--dataset-split', default='valid')
+    parser.add_argument('--attn-qkv', action='store_true',
+                        help='serving: fused-qkv window attention '
+                             '(slicing + v2 normalize/scale inside the '
+                             'kernel; forward-only)')
     parser.add_argument('--remat', action='store_true',
                         help='gradient-checkpoint transformer backbone '
                              'blocks (recompute in backward; lifts the '
@@ -492,6 +496,11 @@ def main():
         if args.remat and config.backbone_rgbd \
                 and config.backbone_rgbd.startswith('swin'):
             config = dataclasses.replace(config, backbone_remat=True)
+        if args.attn_qkv and not args.train and not args.eval \
+                and config.backbone_rgbd \
+                and config.backbone_rgbd.startswith('swin'):
+            config = dataclasses.replace(
+                config, backbone_attn_backend='pallas-qkv')
     model = build_model(config)
 
     post = PanopticPostprocessing(

@@ -203,8 +203,34 @@ class WindowAttention(nn.Module):
         # materializes (Bw, h, N, N) in HBM
         use_fused = (backend in ('pallas', 'pallas-interpret')
                      and supports_fused_window_attention(Bw, N, C, h))
+        # serving-only variant over the RAW qkv tensor: slicing + v2
+        # normalization/scale run inside the kernel, so the projection
+        # GEMM feeds it directly (none of the sliced/normalized
+        # q/k/v intermediates -- or their layout copies -- exist in
+        # HBM). Forward-only (no VJP): opt in via
+        # attn_backend='pallas-qkv[-interpret]' for inference graphs.
+        use_fused_qkv = (backend in ('pallas-qkv',
+                                     'pallas-qkv-interpret')
+                         and supports_fused_window_attention(Bw, N, C,
+                                                             h))
 
-        if use_fused:
+        if use_fused_qkv:
+            from ...ops.pallas.window_attention import (
+                fused_window_attention_qkv,
+            )
+            if shift_spec is not None:
+                Hp, Wp, ws, sh, sw = shift_spec
+                grid_hw = (Hp // ws, Wp // ws)
+                shift_masks = _shift_attn_mask(Hp, Wp, ws, sh, sw)
+            else:
+                grid_hw, shift_masks = (1, 1), None
+            scale_vec = (self._v2_scale()[:, 0, 0].astype(jnp.float32)
+                         if self.v2 else None)
+            out = fused_window_attention_qkv(
+                qkv, bias, h, grid_hw, shift_masks, v2_scale=scale_vec,
+                interpret=backend == 'pallas-qkv-interpret')
+            out = out.astype(self.dtype)
+        elif use_fused:
             # fused path: logits/softmax/PV in one Pallas pass; the
             # (Bw, h, N, N) logits never reach HBM. q keeps the GEMM's
             # (Bw, N, C) layout; per-head scale folds into q.

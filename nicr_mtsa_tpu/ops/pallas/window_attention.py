@@ -117,6 +117,147 @@ def _make_fwd_kernel(T: int, N: int, C: int, h: int, n_patterns: int,
     return kernel
 
 
+def _make_fwd_kernel_qkv(T: int, N: int, C: int, h: int,
+                         n_patterns: int, nW: int, nWw: int, nWh: int,
+                         out_dtype, v2: bool, scale_const: float):
+    """Forward-only kernel over the FUSED (T, N, 3C) qkv tensor: the
+    q/k/v column slicing and (for v2) the per-head L2 normalization +
+    logit scale run in VMEM, so the qkv GEMM feeds the kernel directly
+    -- no sliced/normalized q/k/v tensors (and none of their layout
+    copies) ever exist in HBM. Serving only: no VJP."""
+    d = C // h
+    N2 = 2 * N
+    pattern_id = _pattern_id_fn(nW, nWw, nWh)
+
+    def kernel(qkv_ref, bias_ref, pmask_ref, scale_ref, o_ref):
+        t = pl.program_id(0)
+
+        def pair(p, _):
+            blk = qkv_ref[pl.ds(2 * p, 2)].reshape(N2, 3 * C)
+
+            if n_patterns == 1:
+                pm = pmask_ref[0]
+            else:
+                g0 = t * T + 2 * p
+                pid = pattern_id(g0) * 4 + pattern_id(g0 + 1)
+                pm = pmask_ref[pid]
+
+            pieces = []
+            for j in range(h):
+                qs = blk[:, j * d:(j + 1) * d]
+                ks = blk[:, C + j * d:C + (j + 1) * d]
+                vs = blk[:, 2 * C + j * d:2 * C + (j + 1) * d]
+                if v2:
+                    # cosine attention: normalize q/k per head in f32,
+                    # learned per-head logit scale on the logits
+                    qf = qs.astype(jnp.float32)
+                    kf = ks.astype(jnp.float32)
+                    qn = jnp.sqrt(jnp.sum(qf * qf, axis=1,
+                                          keepdims=True))
+                    kn = jnp.sqrt(jnp.sum(kf * kf, axis=1,
+                                          keepdims=True))
+                    qf = (qf / jnp.maximum(qn, 1e-6)).astype(qs.dtype)
+                    kf = (kf / jnp.maximum(kn, 1e-6)).astype(ks.dtype)
+                    lt = jax.lax.dot_general(
+                        kf, qf, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    lt = lt * scale_ref[0, j]
+                else:
+                    lt = jax.lax.dot_general(
+                        ks, qs, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    lt = lt * scale_const
+                lt = lt + bias_ref[j] + pm
+                mx = jnp.max(lt, axis=0, keepdims=True)
+                e = jnp.exp(lt - mx)
+                s = jnp.sum(e, axis=0, keepdims=True)
+                prob = (e / s).astype(blk.dtype)
+                pieces.append(jax.lax.dot_general(
+                    prob, vs, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            o = jnp.concatenate(pieces, axis=1).astype(out_dtype)
+            o_ref[pl.ds(2 * p, 2)] = o.reshape(2, N, C)
+            return 0
+
+        jax.lax.fori_loop(0, T // 2, pair, 0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('n_heads', 'grid_hw', 'tile_windows', 'v2',
+                     'scale_const', 'interpret'))
+def _fwd_call_qkv(qkv, bias_pair, pattern_pairs, scale_vec, n_heads,
+                  grid_hw, tile_windows, v2, scale_const, interpret):
+    Bw, N, C3 = qkv.shape
+    C = C3 // 3
+    nWh, nWw = grid_hw
+    T = tile_windows
+    h = n_heads
+
+    io3 = pl.BlockSpec((T, N, C3), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    io = pl.BlockSpec((T, N, C), lambda i: (i, 0, 0),
+                      memory_space=pltpu.VMEM)
+    const = lambda s: pl.BlockSpec(s, lambda i: (0,) * len(s),
+                                   memory_space=pltpu.VMEM)
+    n_patterns = 1 if pattern_pairs.shape[0] == 1 else 4
+    return pl.pallas_call(
+        _make_fwd_kernel_qkv(T, N, C, h, n_patterns,
+                             nWh * nWw, nWw, nWh, qkv.dtype, v2,
+                             scale_const),
+        grid=(Bw // T,),
+        in_specs=[io3, const(bias_pair.shape),
+                  const(pattern_pairs.shape),
+                  const(scale_vec.shape)],
+        out_specs=io,
+        out_shape=jax.ShapeDtypeStruct((Bw, N, C), qkv.dtype),
+        interpret=interpret,
+    )(qkv, bias_pair, pattern_pairs, scale_vec)
+
+
+def fused_window_attention_qkv(
+    qkv: jnp.ndarray,          # (Bw, N, 3C) fused projection output
+    bias: jnp.ndarray,         # (h, N, N) additive, query-major
+    n_heads: int,
+    grid_hw: Tuple[int, int],
+    shift_masks: Optional[np.ndarray] = None,
+    v2_scale: Optional[jnp.ndarray] = None,   # (h,) f32 logit scale
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Serving-only fused attention over the raw qkv projection:
+    slicing, v2 cosine normalization, and the logit scale all happen
+    in VMEM (see _make_fwd_kernel_qkv). Not differentiable -- training
+    uses `fused_window_attention` (custom VJP). Numerics: v2
+    normalization runs in f32 inside the kernel where the XLA/fused
+    paths normalize in the compute dtype, so bf16 outputs differ
+    within rounding noise (~1e-2); f32 agrees to ~1e-6."""
+    Bw, N, C3 = qkv.shape
+    C = C3 // 3
+    Np = PADDED_TOKENS
+    T = pick_tile_windows(Bw, C)
+    assert T and N <= Np, (Bw, N, C)
+
+    n_valid = N if N < Np else None
+    if N < Np:
+        qkv = jnp.pad(qkv, ((0, 0), (0, Np - N), (0, 0)))
+        bias = jnp.pad(bias, ((0, 0), (0, Np - N), (0, Np - N)))
+
+    d = C // n_heads
+    v2 = v2_scale is not None
+    scale_vec = (v2_scale.astype(jnp.float32).reshape(1, n_heads)
+                 if v2 else jnp.zeros((1, n_heads), jnp.float32))
+    bias_pair = build_bias_pair(bias)
+    patterns = jnp.asarray(
+        build_pattern_pairs(Np, shift_masks, grid_hw, n_valid=n_valid))
+    out = _fwd_call_qkv(qkv, bias_pair, patterns, scale_vec, n_heads,
+                        tuple(grid_hw), T, v2,
+                        float(d) ** -0.5, interpret)
+    return out[:, :N] if N < Np else out
+
+
 def _make_bwd_kernel(T: int, N: int, C: int, h: int, n_patterns: int,
                      nW: int, nWw: int, nWh: int, in_dtype):
     """Flash-style backward: recompute the pair/head logits from the

@@ -57,6 +57,55 @@ def test_fused_matches_xla_shifted(v2):
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize('v2', [False, True])
+def test_fused_qkv_matches_xla_unshifted(v2):
+    # serving-only fused-qkv variant: slicing + v2 normalization/scale
+    # inside the kernel; must match the XLA path at f32
+    rng = np.random.default_rng(19)
+    x = jnp.asarray(rng.normal(size=(4, 64, 128)).astype(np.float32))
+    xla = WindowAttention(dim=128, n_heads=4, window_size=8, v2=v2,
+                          backend='xla')
+    fused = WindowAttention(dim=128, n_heads=4, window_size=8, v2=v2,
+                            backend='pallas-qkv-interpret')
+    variables = xla.init(jax.random.PRNGKey(3), x)
+    ref = np.asarray(xla.apply(variables, x))
+    got = np.asarray(fused.apply(variables, x))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize('v2', [False, True])
+def test_fused_qkv_matches_xla_shifted(v2):
+    ws, shift = 8, 4
+    Hp, Wp = 16, 24
+    nW = (Hp // ws) * (Wp // ws)
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(
+        rng.normal(size=(2 * nW, 64, 128)).astype(np.float32))
+    shift_spec = (Hp, Wp, ws, shift, shift)
+    xla = WindowAttention(dim=128, n_heads=4, window_size=8, v2=v2,
+                          backend='xla')
+    fused = WindowAttention(dim=128, n_heads=4, window_size=8, v2=v2,
+                            backend='pallas-qkv-interpret')
+    variables = xla.init(jax.random.PRNGKey(5), x, shift_spec)
+    ref = np.asarray(xla.apply(variables, x, shift_spec))
+    got = np.asarray(fused.apply(variables, x, shift_spec))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_qkv_matches_xla_v1_win7_padded():
+    # v1 49-token windows pad to 64 inside the qkv variant too
+    rng = np.random.default_rng(29)
+    x = jnp.asarray(rng.normal(size=(4, 49, 128)).astype(np.float32))
+    xla = WindowAttention(dim=128, n_heads=4, window_size=7, v2=False,
+                          backend='xla')
+    fused = WindowAttention(dim=128, n_heads=4, window_size=7, v2=False,
+                            backend='pallas-qkv-interpret')
+    variables = xla.init(jax.random.PRNGKey(7), x)
+    ref = np.asarray(xla.apply(variables, x))
+    got = np.asarray(fused.apply(variables, x))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
 def test_pattern_pair_table_matches_dense_masks():
     """The 16-entry pattern-pair table must contain exactly the dense
     per-window masks in key-major layout for every window pair the

@@ -367,7 +367,12 @@ def main():
     parser.add_argument('--eval', action='store_true',
                         help='measure fused EVAL step throughput '
                              '(forward + postproc + merge + PQ/mIoU/MAE '
-                             'metric states on device)')
+                             'metric states on device). Batch sizes: '
+                             'any multiple of 8 runs the fused '
+                             'crop+resize+argmax kernel (B128/B256 '
+                             'measured best); other batches fall back '
+                             'to the XLA phase chain, which OOMs at '
+                             'large B')
     parser.add_argument('--stream', action='store_true',
                         help='measure serving throughput with fresh '
                              'host frames each step (double-buffered '
@@ -404,8 +409,9 @@ def main():
                              '(slicing + v2 normalize/scale inside the '
                              'kernel; forward-only)')
     parser.add_argument('--remat', action='store_true',
-                        help='gradient-checkpoint transformer backbone '
-                             'blocks (recompute in backward; lifts the '
+                        help='gradient-checkpoint backbone blocks (Swin '
+                             'AND ResNet/NBt1D) + dense decoder blocks '
+                             '(recompute in backward; lifts the '
                              'train-batch activation ceiling, parameter '
                              'tree unchanged)')
     parser.add_argument('--attn-chunk', type=int, default=0,
@@ -448,6 +454,7 @@ def main():
         is_thing = without_void.classes_is_thing
 
     if args.model == 'emsanet-bench':
+        import dataclasses
         config = MultiTaskModelConfig(
             tasks=('semantic', 'instance', 'orientation', 'scene'),
             backbone_rgb='resnet18' if args.quick else 'resnet34',
@@ -473,6 +480,12 @@ def main():
                 if (not args.train and not args.eval) else False),
             dtype=jnp.bfloat16,
         )
+        if args.remat:
+            # CNN remat: encoder NBt1D/residual blocks + dense decoder
+            # blocks recompute in the backward pass (lifts the train
+            # activation ceiling; B96 OOMed by 4.8G without it)
+            config = dataclasses.replace(
+                config, backbone_remat=True, decoder_remat=True)
     else:
         import dataclasses
         from nicr_mtsa_tpu.configs import BENCH_CONFIGS
@@ -493,9 +506,10 @@ def main():
                 and config.backbone_rgbd.startswith('swin'):
             config = dataclasses.replace(
                 config, backbone_attn_chunk_size=args.attn_chunk)
-        if args.remat and config.backbone_rgbd \
-                and config.backbone_rgbd.startswith('swin'):
+        if args.remat:
             config = dataclasses.replace(config, backbone_remat=True)
+            if config.decoder_type == 'dense':
+                config = dataclasses.replace(config, decoder_remat=True)
         if args.attn_qkv and not args.train and not args.eval \
                 and config.backbone_rgbd \
                 and config.backbone_rgbd.startswith('swin'):

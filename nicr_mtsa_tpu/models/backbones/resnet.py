@@ -35,6 +35,7 @@ class ResNetBackbone(Backbone):
     groups: int = 1
     width_per_group: int = 64
     dropout_p: float = 0.2               # NonBottleneck1D channel dropout
+    remat: bool = False                  # gradient-checkpoint each block
     dtype: Any = jnp.float32
 
     @property
@@ -77,7 +78,7 @@ class ResNetBackbone(Backbone):
                 stride = 1
 
             blocks = [make_block(
-                self.block, planes=planes, stride=stride,
+                self.block, remat=self.remat, planes=planes, stride=stride,
                 use_downsample=(stride != 1 or in_ch != planes * e),
                 dilation=dilation_in, norm=self.norm, act=self.act,
                 zero_init_residual=self.zero_init_residual,
@@ -87,7 +88,7 @@ class ResNetBackbone(Backbone):
             )]
             for b in range(1, n_blocks):
                 blocks.append(make_block(
-                    self.block, planes=planes, stride=1,
+                    self.block, remat=self.remat, planes=planes, stride=1,
                     use_downsample=False, dilation=dilation,
                     norm=self.norm, act=self.act,
                     zero_init_residual=self.zero_init_residual,

@@ -159,7 +159,7 @@ class NonBottleneck1D(nn.Module):
         return act(out + identity)
 
 
-def make_block(block_type: str, **kwargs):
+def make_block(block_type: str, remat: bool = False, **kwargs):
     block_type = get_block_name(block_type)
     cls = {'basicblock': BasicBlock,
            'bottleneck': Bottleneck,
@@ -169,4 +169,10 @@ def make_block(block_type: str, **kwargs):
     if block_type != 'bottleneck':
         kwargs.pop('groups', None)
         kwargs.pop('base_width', None)
+    if remat:
+        # gradient-checkpoint the block: activations inside recompute
+        # in the backward pass. `train` (arg 2 of __call__) stays a
+        # trace-time constant; the parameter tree is unchanged, so
+        # checkpoints interchange with the non-remat model.
+        cls = nn.remat(cls, static_argnums=(2,))
     return cls(**kwargs)

@@ -69,6 +69,7 @@ class DenseDecoderModule(nn.Module):
     norm: str = 'batchnorm'
     act: str = 'relu'
     upsampling: Optional[str] = 'bilinear'    # None: no upsampling
+    remat: bool = False                  # gradient-checkpoint each block
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -83,7 +84,8 @@ class DenseDecoderModule(nn.Module):
         for i in range(self.n_blocks):
             needs_adapter = x.shape[-1] != self.n_channels
             x = make_block(
-                self.block, planes=self.n_channels, stride=1,
+                self.block, remat=self.remat, planes=self.n_channels,
+                stride=1,
                 use_downsample=needs_adapter, norm=self.norm, act=self.act,
                 dtype=self.dtype, name=f'block{i}',
             )(x, train)
@@ -112,6 +114,7 @@ class DenseDecoderBase(nn.Module):
     act: str = 'relu'
     upsampling: str = 'bilinear'
     prediction_upsampling: str = 'bilinear'
+    remat: bool = False                  # gradient-checkpoint the blocks
     dtype: Any = jnp.float32
 
     @property
@@ -156,7 +159,7 @@ class DenseDecoderBase(nn.Module):
                 n_channels=n_out, block=self.block, n_blocks=self.n_blocks,
                 norm=self.norm, act=self.act,
                 upsampling=self.upsampling if p['do_upsampling'] else None,
-                dtype=self.dtype, name=f'module{i}',
+                remat=self.remat, dtype=self.dtype, name=f'module{i}',
             )(x, train)
             if p['side_output']:
                 side_outputs.append(side)

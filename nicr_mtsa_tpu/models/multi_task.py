@@ -68,9 +68,15 @@ class MultiTaskModelConfig:
     # (ops/pallas/semantic_finisher4x.py); requires downsampling-4
     # heads (two-step ladder)
     defer_semantic_prediction_upsampling: object = False  # False|True|'all'
-    # gradient checkpointing for transformer backbones (Swin blocks
-    # recompute in the backward pass; parameter tree unchanged)
+    # gradient checkpointing (residual/Swin blocks recompute in the
+    # backward pass; parameter trees unchanged, checkpoints
+    # interchange): backbone_remat covers encoder blocks of BOTH
+    # families (Swin blocks, ResNet/NBt1D residual blocks),
+    # decoder_remat the dense decoders' residual blocks -- together
+    # they lift the EMSANet train activation ceiling (B96 OOMed by
+    # 4.8 G without a CNN remat path, PERF.md batch boundaries)
     backbone_remat: bool = False
+    decoder_remat: bool = False
     # images per window-attention chunk in Swin blocks (0 = whole
     # batch); bounds live attention intermediates for big serve batches
     backbone_attn_chunk_size: int = 0
@@ -121,14 +127,12 @@ def build_model(config: MultiTaskModelConfig) -> MultiTaskModel:
     c = config
 
     backbone_rgb = backbone_depth = backbone_rgbd = None
-    # remat applies to transformer backbones only (resnet activations
-    # are cheap relative to their recompute cost)
     def _bb_kwargs(name):
-        if not name.startswith('swin'):
-            return {}
         kw = {}
         if c.backbone_remat:
             kw['remat'] = True
+        if not name.startswith('swin'):
+            return kw
         if c.backbone_attn_chunk_size:
             kw['attn_chunk_size'] = c.backbone_attn_chunk_size
         if c.backbone_attn_backend != 'auto':
@@ -205,6 +209,7 @@ def build_model(config: MultiTaskModelConfig) -> MultiTaskModel:
             downsamplings=c.decoder_downsamplings,
             block=c.decoder_block,
             n_blocks=c.decoder_n_blocks,
+            remat=c.decoder_remat,
         )
 
     tasks = set(c.tasks)

@@ -251,14 +251,33 @@ def crop_resize_argmax_score(
     crop_y0, crop_y1, _ = sy.indices(H)
     crop_x0, crop_x1, _ = sx.indices(W)
     in_h, in_w = crop_y1 - crop_y0, crop_x1 - crop_x0
-    block_b = 128 if B % 128 == 0 else 8
 
-    xt = jnp.transpose(x, (1, 2, 3, 0))   # bitcast under batch-minor
-    idx_t, score_t = _resize_reduce_call(
-        xt, crop_y0, crop_x0, in_h, in_w, out_h, out_w, block_b,
-        interpret)
-    return (jnp.transpose(idx_t, (2, 0, 1)),
-            jnp.transpose(score_t, (2, 0, 1)))
+    # Mosaic requires lane-dim (batch) blocks to either divide into
+    # 128-lane tiles or cover the whole axis. Arbitrary B % 8 == 0
+    # batches therefore run as a multiple-of-128 prefix (block 128)
+    # plus one whole-axis remainder block (<= 120 lanes). The batch
+    # slice is a 128-aligned lane slice of the batch-minor logits --
+    # a strided DMA, not a relayout.
+    main = (B // 128) * 128
+    chunks = []
+    if main:
+        chunks.append((0, main, 128))
+    if B - main:
+        chunks.append((main, B - main, B - main))
+
+    idx_parts, score_parts = [], []
+    for start, n, block_b in chunks:
+        xt = jnp.transpose(x[start:start + n],
+                           (1, 2, 3, 0))   # bitcast under batch-minor
+        idx_t, score_t = _resize_reduce_call(
+            xt, crop_y0, crop_x0, in_h, in_w, out_h, out_w, block_b,
+            interpret)
+        idx_parts.append(jnp.transpose(idx_t, (2, 0, 1)))
+        score_parts.append(jnp.transpose(score_t, (2, 0, 1)))
+    if len(chunks) == 1:
+        return idx_parts[0], score_parts[0]
+    return (jnp.concatenate(idx_parts, axis=0),
+            jnp.concatenate(score_parts, axis=0))
 
 
 def resize_reduce_supported(x_shape, crop_slices, out_h, out_w,
@@ -267,10 +286,10 @@ def resize_reduce_supported(x_shape, crop_slices, out_h, out_w,
     B, H, W, C = x_shape
     if not interpret and jax.default_backend() != 'tpu':
         return False
-    # batch rides the 128 lanes; the 8-lane block exists for interpret
-    # tests only (a non-multiple batch would violate Mosaic's last-dim
-    # block divisibility on the real TPU)
-    if B % 128 and not (interpret and B % 8 == 0):
+    # batch rides the 128 lanes: multiples of 128 run as 128-lane
+    # blocks; any other B % 8 == 0 batch additionally runs one
+    # whole-axis remainder block (see crop_resize_argmax_score)
+    if B % 8:
         return False
     if C % 8:                       # sublane-aligned class axis (DMA)
         return False

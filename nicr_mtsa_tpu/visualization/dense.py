@@ -7,6 +7,29 @@ import numpy as np
 from ._colors import generate_semantic_colors
 
 
+def to_pil_img(img: np.ndarray, palette=None):
+    """numpy image -> PIL image (reference visualization/_pil.py:18-30).
+
+    Values > 255 become a uint16 image unless a palette is given, in
+    which case colors are applied up-front (indexed PNGs are uint8
+    only); uint8 images optionally get the palette attached as an
+    indexed-image palette."""
+    from PIL import Image
+    img = np.asarray(img)
+    if img.size and img.max() > 255:
+        if palette is not None:
+            return Image.fromarray(
+                np.asarray(palette, dtype='uint8')[img])
+        return Image.fromarray(img.astype('uint16'))
+    if img.dtype != np.uint8:
+        img = img.astype('uint8')
+    img_pil = Image.fromarray(img)
+    if palette is not None:
+        img_pil.putpalette(
+            list(np.asarray(palette[:256], dtype='uint8').flatten()))
+    return img_pil
+
+
 def _to_pil(img: np.ndarray):
     from PIL import Image
     return Image.fromarray(img)

@@ -11,6 +11,25 @@ from ._colors import InstanceColorGenerator
 from .dense import _to_pil, visualize_heatmap
 
 
+def _mono_bold_font(size: int = 30):
+    """Monospace-bold TTF at the reference's font_size=30 (reference
+    bundles FreeMonoBold.ttf); resolved from matplotlib's bundled
+    DejaVu fonts, with the PIL bitmap font as last resort."""
+    from PIL import ImageFont
+    try:
+        import os
+        import matplotlib
+        path = os.path.join(os.path.dirname(matplotlib.__file__),
+                            'mpl-data', 'fonts', 'ttf',
+                            'DejaVuSansMono-Bold.ttf')
+        return ImageFont.truetype(path, size)
+    except Exception:
+        try:
+            return ImageFont.truetype('FreeMonoBold.ttf', size)
+        except Exception:
+            return ImageFont.load_default()
+
+
 def visualize_instance(instance_img: np.ndarray,
                        color_generator: Optional[InstanceColorGenerator]
                        = None) -> np.ndarray:
@@ -109,16 +128,18 @@ def visualize_instance_orientations(
     color_generator: Optional[InstanceColorGenerator] = None,
     arrow_length: int = 12,
 ) -> np.ndarray:
-    """Instance image with an orientation arrow (and angle text if a
-    PIL font is available) at each oriented instance's centroid. The
-    reference renders text with a bundled TTF; the default PIL bitmap
-    font is used here instead (no font asset)."""
+    """Instance image with an orientation arrow and angle text at each
+    oriented instance's centroid. The reference bundles FreeMonoBold.ttf
+    at font_size=30 (reference visualization/instance.py:236-242); here
+    a monospace-bold TTF is resolved from matplotlib's bundled fonts at
+    the same size, falling back to the PIL bitmap font without it."""
     img = visualize_instance(instance_img, color_generator)
     instance_img = np.asarray(instance_img)
 
     from PIL import Image, ImageDraw
     pil = Image.fromarray(img)
     draw = ImageDraw.Draw(pil)
+    font = _mono_bold_font(size=30)
     for instance_id, angle in orientations.items():
         mask = instance_img == instance_id
         if not mask.any():
@@ -131,7 +152,7 @@ def visualize_instance_orientations(
                   width=2)
         draw.text((cx + 2, cy + 2),
                   f'{np.rad2deg(float(angle)):.0f}',
-                  fill=(255, 255, 255))
+                  fill=(255, 255, 255), font=font)
     return np.asarray(pil)
 
 

@@ -37,6 +37,17 @@ def test_infer_panoptic_example(tmp_path):
         assert (tmp_path / name).stat().st_size > 0
 
 
+def test_eval_dataset_example():
+    res = _run('eval_dataset.py', '--cpu',
+               '--dataset', os.path.join(REPO, 'tests', 'fixtures',
+                                         'mini_dataset'),
+               '--split', 'valid', '--batch-size', '2',
+               '--size', '96', '128')
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert 'evaluated' in res.stdout
+    assert 'miou' in res.stdout
+
+
 def test_train_synthetic_example(tmp_path):
     res = _run('train_synthetic.py', '--cpu', '--epochs', '1',
                '--steps', '2', '--batch-size', '2',

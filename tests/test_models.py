@@ -395,3 +395,60 @@ def test_split_pointwise_conv_matches_concat_conv():
     y_cat = m.apply(v_split, jnp.concatenate(parts, axis=-1), False)
     np.testing.assert_allclose(np.asarray(y_split), np.asarray(y_cat),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_cnn_remat_matches_standard():
+    """backbone_remat/decoder_remat on the CNN family must keep the
+    parameter tree AND forward/grad values identical (checkpoints
+    interchange; only the backward-pass memory schedule changes) --
+    the EMSANet train B96 OOM remedy."""
+    import dataclasses
+    from nicr_mtsa_tpu.models.multi_task import (
+        MultiTaskModelConfig, build_model,
+    )
+
+    config = MultiTaskModelConfig(
+        tasks=('semantic', 'scene'),
+        backbone_rgb='resnet18', backbone_depth='resnet18',
+        resnet_block='nonbottleneck1d',
+        context_n_channels=32,
+        decoder_n_channels=(16, 16, 16), decoder_n_blocks=1,
+        upsampling='bilinear', prediction_upsampling='bilinear',
+        input_size=(32, 32), semantic_n_classes=5, scene_n_classes=3)
+    model = build_model(config)
+    model_r = build_model(dataclasses.replace(
+        config, backbone_remat=True, decoder_remat=True))
+
+    x = {'rgb': jnp.asarray(
+             np.random.default_rng(0).normal(size=(2, 32, 32, 3)),
+             jnp.float32),
+         'depth': jnp.asarray(
+             np.random.default_rng(1).normal(size=(2, 32, 32, 1)),
+             jnp.float32)}
+    init_rngs = {'params': jax.random.PRNGKey(0),
+                 'dropout': jax.random.PRNGKey(9)}
+    v = model.init(init_rngs, x, train=True)
+    v_r = model_r.init(init_rngs, x, train=True)
+    assert jax.tree_util.tree_structure(v) == \
+        jax.tree_util.tree_structure(v_r)
+
+    def loss(variables, m):
+        outs, _ = m.apply(
+            variables, x, train=True,
+            rngs={'dropout': jax.random.PRNGKey(1)},
+            mutable=['batch_stats'])
+        sem, _ = outs['semantic']
+        return jnp.sum(sem * sem) + jnp.sum(outs['scene'][0] ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(p, model))(v)
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, model_r))(v)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    # recomputation reassociates f32 reductions: tiny noise only.
+    # atol scales with each leaf's magnitude (grads here are O(1e4);
+    # near-zero elements otherwise trip the relative check on noise)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1.0)
+        np.testing.assert_allclose(a, b, rtol=1e-2,
+                                   atol=1e-5 * scale)

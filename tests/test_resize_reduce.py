@@ -100,11 +100,35 @@ def test_tie_break_first():
     assert (np.asarray(idx) == 3).all()
 
 
+def test_chunked_batch_matches_twin():
+    """B = 128k + r (r % 8 == 0) runs as a 128-block prefix plus one
+    whole-axis remainder block; both chunks must agree with the XLA
+    twin (the eval-B192 case that used to fall back and OOM)."""
+    (H, W), crop, (oh, ow) = (60, 80), (slice(0, 60), slice(0, 80)), \
+        (64, 64)
+    rng = np.random.default_rng(7)
+    B, C = 136, 8                     # 128 + 8 exercises both chunks
+    x = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+    assert resize_reduce_supported(x.shape, crop, oh, ow,
+                                   interpret=True)
+    idx, score = crop_resize_argmax_score(x, crop, oh, ow,
+                                          interpret=True)
+    score_r, idx_r = _twin(x, crop, oh, ow)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_r))
+    np.testing.assert_allclose(np.asarray(score), np.asarray(score_r),
+                               rtol=2e-6, atol=2e-7)
+
+
 def test_supported_gate():
     crop = (slice(0, 480), slice(0, 640))
     # the bench shape must take the kernel path on TPU shapes
     assert resize_reduce_supported((128, 480, 640, 40), crop, 512, 512,
                                    interpret=True)
+    # B192 (and any B % 8 == 0) now runs chunked on TPU
+    assert resize_reduce_supported((192, 480, 640, 40), crop, 512, 512,
+                                   interpret=True)
+    assert not resize_reduce_supported((100, 480, 640, 40), crop,
+                                       512, 512, interpret=True)
     # identity resize -> not supported (nothing to fuse)
     assert not resize_reduce_supported((128, 480, 640, 40), crop,
                                        480, 640, interpret=True)

@@ -18,13 +18,14 @@ from .base import MetricBase
 @partial(jax.jit, static_argnames=('n_classes',))
 def confusion_matrix(preds, target, n_classes: int):
     """(...,) int preds/target -> (C, C) int32 confusion counts
-    (rows = target, cols = prediction)."""
-    t = target.reshape(-1)
-    p = preds.reshape(-1)
-    oh_t = jax.nn.one_hot(t, n_classes, dtype=jnp.bfloat16)
-    oh_p = jax.nn.one_hot(p, n_classes, dtype=jnp.bfloat16)
-    cm = jnp.einsum('pt,pc->tc', oh_t, oh_p,
-                    preferred_element_type=jnp.float32)
+    (rows = target, cols = prediction). The pixel axes stay
+    unflattened: the dot_general contracts them all directly, so
+    batch-minor (B, H, W) maps never pay a linearization copy."""
+    oh_t = jax.nn.one_hot(target, n_classes, dtype=jnp.bfloat16)
+    oh_p = jax.nn.one_hot(preds, n_classes, dtype=jnp.bfloat16)
+    px = tuple(range(target.ndim))
+    cm = jax.lax.dot_general(oh_t, oh_p, ((px, px), ((), ())),
+                             preferred_element_type=jnp.float32)
     return cm.astype(jnp.int32)
 
 

@@ -64,11 +64,11 @@ def pq_compare(
     S_pred = pred_table.shape[-1]
     void_segment_id = ignored_label * M
 
-    flat_pred = pred.reshape(B, -1).astype(jnp.int32)
-    flat_target = target.reshape(B, -1).astype(jnp.int32)
-
-    gt_slots = ids_to_slots(flat_target, gt_table)
-    pred_slots = ids_to_slots(flat_pred, pred_table)
+    # (B, H, W) maps stay unflattened: ids_to_slots/intersection_matrix
+    # broadcast/contract the spatial dims directly, so the batch-minor
+    # maps never pay a (B, P) linearization copy (~13 ms at B128 eval)
+    gt_slots = ids_to_slots(target.astype(jnp.int32), gt_table)
+    pred_slots = ids_to_slots(pred.astype(jnp.int32), pred_table)
     N_full = intersection_matrix(gt_slots, pred_slots, S_gt, S_pred)
 
     # segment areas include the overflow row/col (total pixel counts)

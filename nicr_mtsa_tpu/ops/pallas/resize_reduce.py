@@ -41,22 +41,29 @@ from jax.experimental.pallas import tpu as pltpu
 from ...models.upsampling import _two_tap_plan
 
 
-def _pick_block(p: int, g: int, target: int):
-    """Largest k with k | g and k * p <= target (at least 1)."""
+def _pick_block(p: int, g: int, target: int, align: int = 1):
+    """Largest k with k | g, k * p <= target, and (k * p) % align == 0
+    (0 when no such k exists)."""
     k = max(1, target // p)
-    while k > 1 and g % k:
+    while k >= 1:
+        if g % k == 0 and (k * p) % align == 0:
+            return k
         k -= 1
-    return k
+    return 0
 
 
 def _tile_rows(i0, k, p):
     return int(i0[k * p - 1]) + 2 - int(i0[0])
 
 
-def _plan_blocks(in_h, in_w, out_h, out_w, C, B, itemsize):
+def _plan_blocks(in_h, in_w, out_h, out_w, C, B, itemsize,
+                 interpret=False):
     """Shared block-size selection for the call and the support gate:
     (k_h, k_w, n_rows, n_cols) or None when no in-bounds, VMEM-fitting
-    periodic tiling exists."""
+    periodic tiling exists. The output block is (Ho, Wo, block_b):
+    Mosaic requires its second-to-last dim Wo to be 8-aligned (or the
+    whole axis) on real TPUs -- interpret mode skips that constraint."""
+    w_align = 1 if interpret else 8
     i0h, fh, g_h, q_h, p_h, per_h = _two_tap_plan(in_h, out_h)
     i0w, fw, g_w, q_w, p_w, per_w = _two_tap_plan(in_w, out_w)
     if (out_h != in_h and not per_h) or (out_w != in_w and not per_w):
@@ -67,9 +74,14 @@ def _plan_blocks(in_h, in_w, out_h, out_w, C, B, itemsize):
     # shrink until the tile (incl. tap halo) fits inside the input
     while k_h > 1 and _tile_rows(i0h, k_h, p_h) > in_h:
         k_h = _pick_block(p_h, g_h, k_h * p_h - 1)
-    k_w = _pick_block(p_w, g_w, 16)
+    k_w = _pick_block(p_w, g_w, 16, w_align)
     while k_w > 1 and _tile_rows(i0w, k_w, p_w) > in_w:
-        k_w = _pick_block(p_w, g_w, k_w * p_w - 1)
+        nk = _pick_block(p_w, g_w, k_w * p_w - 1, w_align)
+        if not nk:
+            break
+        k_w = nk
+    if not k_h or not k_w:
+        return None
     n_rows = _tile_rows(i0h, k_h, p_h)
     n_cols = _tile_rows(i0w, k_w, p_w)
     if n_rows > in_h or n_cols > in_w:
@@ -81,19 +93,22 @@ def _plan_blocks(in_h, in_w, out_h, out_w, C, B, itemsize):
         return (n_rows * n_cols * C * min(128, B) * itemsize
                 > 8 * 1024 * 1024)
     while over() and (k_w > 1 or k_h > 1):
-        if k_w > 1:
-            k_w = _pick_block(p_w, g_w, k_w * p_w - 1)
+        if k_w > 1 and _pick_block(p_w, g_w, k_w * p_w - 1, w_align):
+            k_w = _pick_block(p_w, g_w, k_w * p_w - 1, w_align)
             n_cols = _tile_rows(i0w, k_w, p_w)
-        else:
+        elif k_h > 1:
             k_h = _pick_block(p_h, g_h, k_h * p_h - 1)
             n_rows = _tile_rows(i0h, k_h, p_h)
+        else:
+            break
     if over():
         return None
     return k_h, k_w, n_rows, n_cols
 
 
 def _make_kernel(plan_h, plan_w, Ho, Wo, n_rows, n_cols, C,
-                 crop_y0, crop_x0, in_h, in_w, rows_pb, cols_pb):
+                 crop_y0, crop_x0, in_h, in_w, rows_pb, cols_pb,
+                 full_batch=False):
     i0h, fh = plan_h
     i0w, fw = plan_w
     i0h_min, i0w_min = int(i0h[0]), int(i0w[0])
@@ -120,9 +135,13 @@ def _make_kernel(plan_h, plan_w, Ho, Wo, n_rows, n_cols, C,
         start_c = jnp.clip(base_c, crop_x0, crop_x0 + in_w - n_cols)
         delta_c = base_c - start_c
 
+        # a lane-dim (batch) slice must be 128-aligned under Mosaic's
+        # tiling; a whole-axis remainder block (< 128 lanes) therefore
+        # indexes the full axis instead of a dynamic zero-length slice
+        batch_ix = slice(None) if full_batch else pl.ds(ib * Bt, Bt)
         copy = pltpu.make_async_copy(
             x_hbm.at[pl.ds(start_r, n_rows), pl.ds(start_c, n_cols),
-                     slice(None), pl.ds(ib * Bt, Bt)],
+                     slice(None), batch_ix],
             x_vmem, sem)
         copy.start()
         copy.wait()
@@ -200,7 +219,8 @@ def _resize_reduce_call(xt, crop_y0, crop_x0, in_h, in_w,
     i0w, fw, g_w, q_w, p_w, _ = _two_tap_plan(in_w, out_w)
 
     k_h, k_w, n_rows, n_cols = _plan_blocks(
-        in_h, in_w, out_h, out_w, C, B, xt.dtype.itemsize)
+        in_h, in_w, out_h, out_w, C, B, xt.dtype.itemsize,
+        interpret=interpret)
     Ho, Wo = k_h * p_h, k_w * p_w
     rows_pb, cols_pb = k_h * q_h, k_w * q_w
 
@@ -211,7 +231,8 @@ def _resize_reduce_call(xt, crop_y0, crop_x0, in_h, in_w,
 
     idx_t, score_t = pl.pallas_call(
         _make_kernel((i0h, fh), (i0w, fw), Ho, Wo, n_rows, n_cols, C,
-                     crop_y0, crop_x0, in_h, in_w, rows_pb, cols_pb),
+                     crop_y0, crop_x0, in_h, in_w, rows_pb, cols_pb,
+                     full_batch=(block_b == B)),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
         out_specs=(out_spec, out_spec),
@@ -252,32 +273,52 @@ def crop_resize_argmax_score(
     crop_x0, crop_x1, _ = sx.indices(W)
     in_h, in_w = crop_y1 - crop_y0, crop_x1 - crop_x0
 
-    # Mosaic requires lane-dim (batch) blocks to either divide into
-    # 128-lane tiles or cover the whole axis. Arbitrary B % 8 == 0
-    # batches therefore run as a multiple-of-128 prefix (block 128)
-    # plus one whole-axis remainder block (<= 120 lanes). The batch
-    # slice is a 128-aligned lane slice of the batch-minor logits --
-    # a strided DMA, not a relayout.
+    # Mosaic DMA slices along the lane (batch) dim must be multiples
+    # of the 128-lane tiling -- even whole-axis slices below 128 are
+    # rejected (two hardware compile crashes taught this). Batch
+    # handling therefore:
+    #   B % 128 == 0      one call, 128-lane blocks (the grid's batch
+    #                     slices are strided DMAs, not relayouts)
+    #   B < 128           the whole batch lane-PADDED to 128 (the pad
+    #                     costs one B-sized copy + a constant-cost
+    #                     kernel pass; measured +24% over the XLA
+    #                     chain at eval B64)
+    #   B > 128, B % 128  hybrid: kernel on the 128-aligned prefix,
+    #                     the exact XLA phase chain on the remainder
+    #                     (lane-padding the remainder costs ~3 GB HBM
+    #                     at the B192 eval shape -- measured OOM; the
+    #                     two paths are argmax-bit-identical)
+    # Interpret mode has no tiling constraints and skips only the pad
+    # (tests run small batches where padding would dominate runtime);
+    # the hybrid branch runs in both modes so CPU tests cover it.
     main = (B // 128) * 128
-    chunks = []
-    if main:
-        chunks.append((0, main, 128))
-    if B - main:
-        chunks.append((main, B - main, B - main))
 
-    idx_parts, score_parts = [], []
-    for start, n, block_b in chunks:
-        xt = jnp.transpose(x[start:start + n],
-                           (1, 2, 3, 0))   # bitcast under batch-minor
+    def kernel_call(xs, block_b):
+        xt = jnp.transpose(xs, (1, 2, 3, 0))  # bitcast under batch-minor
         idx_t, score_t = _resize_reduce_call(
             xt, crop_y0, crop_x0, in_h, in_w, out_h, out_w, block_b,
             interpret)
-        idx_parts.append(jnp.transpose(idx_t, (2, 0, 1)))
-        score_parts.append(jnp.transpose(score_t, (2, 0, 1)))
-    if len(chunks) == 1:
-        return idx_parts[0], score_parts[0]
-    return (jnp.concatenate(idx_parts, axis=0),
-            jnp.concatenate(score_parts, axis=0))
+        return (jnp.transpose(idx_t, (2, 0, 1)),
+                jnp.transpose(score_t, (2, 0, 1)))
+
+    if main == B:
+        return kernel_call(x, 128)
+
+    if main == 0:
+        if interpret:
+            return kernel_call(x, B)
+        xs = jnp.pad(x, ((0, 128 - B), (0, 0), (0, 0), (0, 0)))
+        idx, score = kernel_call(xs, 128)
+        return idx[:B], score[:B]
+
+    from ...models.upsampling import resized_channel_reduce
+    from .semantic_reduce import semantic_score_idx
+    idx_m, score_m = kernel_call(x[:main], 128)
+    cropped = x[main:, crop_slices[0], crop_slices[1], :]
+    score_r, idx_r = resized_channel_reduce(
+        cropped, out_h, out_w, semantic_score_idx)
+    return (jnp.concatenate([idx_m, idx_r], axis=0),
+            jnp.concatenate([score_m, score_r], axis=0))
 
 
 def resize_reduce_supported(x_shape, crop_slices, out_h, out_w,
@@ -288,7 +329,7 @@ def resize_reduce_supported(x_shape, crop_slices, out_h, out_w,
         return False
     # batch rides the 128 lanes: multiples of 128 run as 128-lane
     # blocks; any other B % 8 == 0 batch additionally runs one
-    # whole-axis remainder block (see crop_resize_argmax_score)
+    # lane-padded remainder block (see crop_resize_argmax_score)
     if B % 8:
         return False
     if C % 8:                       # sublane-aligned class axis (DMA)
@@ -301,4 +342,5 @@ def resize_reduce_supported(x_shape, crop_slices, out_h, out_w,
     in_h, in_w = y1 - y0, x1 - x0
     if in_h < 2 or in_w < 2 or (in_h, in_w) == (out_h, out_w):
         return False
-    return _plan_blocks(in_h, in_w, out_h, out_w, C, B, 2) is not None
+    return _plan_blocks(in_h, in_w, out_h, out_w, C, B, 2,
+                        interpret=interpret) is not None

@@ -70,9 +70,9 @@ def merged_segment_table(
     host error -- or use the general `unique_table` instead."""
     B = panoptic_map.shape[0]
     C, K, M = n_classes_with_void, top_k, max_instances_per_category
-    flat = panoptic_map.reshape(B, -1).astype(jnp.int32)
-    cls = flat // M
-    rank = flat - cls * M                       # <= K for merged maps
+    i32 = panoptic_map.astype(jnp.int32)    # (B, ...): stays unflattened
+    cls = i32 // M
+    rank = i32 - cls * M                        # <= K for merged maps
     if check_contract:
         from jax.experimental import checkify
         checkify.check(
@@ -82,8 +82,10 @@ def merged_segment_table(
             r=jnp.max(rank), c=jnp.max(cls))
     oh_c = jax.nn.one_hot(cls, C, dtype=jnp.bfloat16)
     oh_r = jax.nn.one_hot(rank, K + 1, dtype=jnp.bfloat16)
-    counts = jnp.einsum('bpc,bpk->bck', oh_c, oh_r,
-                        preferred_element_type=jnp.float32)
+    px = tuple(range(1, i32.ndim))
+    counts = jax.lax.dot_general(
+        oh_c, oh_r, ((px, px), ((0,), (0,))),
+        preferred_element_type=jnp.float32)     # (B, C, K+1)
     ids = (jnp.arange(C, dtype=jnp.int32)[:, None] * M
            + jnp.arange(K + 1, dtype=jnp.int32)[None, :])
     cand = jnp.where(counts > 0, ids[None], _PAD).reshape(B, C * (K + 1))
@@ -91,8 +93,12 @@ def merged_segment_table(
 
 
 def ids_to_slots(ids: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
-    """Map pixel ids (B, P) to slots in a sorted unique table (B, S);
-    ids not in the table (incl. -1 padding) map to S.
+    """Map pixel ids (B, ...) to slots in a sorted unique table (B, S);
+    ids not in the table (incl. -1 padding) map to S. The pixel axes
+    may stay multi-dimensional ((B, H, W) maps go in unflattened: a
+    (B, P) reshape of a batch-minor map costs a ~13 ms linearization
+    copy at the B128 eval shape, while every op here is elementwise
+    or a dot_general that contracts only the bucket axis).
 
     Formulated as compare-counts, NOT searchsorted: jnp.searchsorted
     lowers to a per-element binary-search while loop on TPU (measured
@@ -120,20 +126,22 @@ def ids_to_slots(ids: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
     id and never equal to one)."""
     S = table.shape[-1]
     i32 = ids.astype(jnp.int32)
+    B = table.shape[0]
+    n_px = i32.ndim - 1                            # pixel axes count
     if S <= 32 or S % 16 != 0:
-        t = table[:, None, :]                      # (B, 1, S)
-        i = i32[:, :, None]                        # (B, P, 1)
+        t = table.reshape(B, *(1,) * n_px, S)
+        i = i32[..., None]                         # (B, ..., 1)
         slot = jnp.sum(t < i, axis=-1).astype(jnp.int32)
         found = jnp.any(t == i, axis=-1)
         return jnp.where(found, slot, S)
 
     BUCKET = 16
     nb = S // BUCKET
-    B = table.shape[0]
-    idf = i32.astype(jnp.float32)[:, :, None]      # (B, P, 1)
+    idf = i32.astype(jnp.float32)[..., None]       # (B, ..., 1)
     bounds = table[:, ::BUCKET].astype(jnp.float32)  # (B, nb)
-    bucket = jnp.sum(bounds[:, None, :] <= idf, axis=-1) - 1
-    bucket = jnp.maximum(bucket, 0).astype(jnp.int32)   # (B, P)
+    bucket = jnp.sum(bounds.reshape(B, *(1,) * n_px, nb) <= idf,
+                     axis=-1) - 1
+    bucket = jnp.maximum(bucket, 0).astype(jnp.int32)   # (B, ...)
 
     # fetch the bucket's entries: one-hot selection on the MXU. The
     # selection matmul must run at HIGHEST precision -- it routes
@@ -144,11 +152,12 @@ def ids_to_slots(ids: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
     # caught by the full-system parity test's missing FN counts).
     # Count-style one-hot einsums (intersection_matrix,
     # merged_segment_table) are safe: their VALUES are 0/1.
-    oh = jax.nn.one_hot(bucket, nb, dtype=jnp.float32)
+    oh = jax.nn.one_hot(bucket, nb, dtype=jnp.float32)  # (B, ..., nb)
     tb = table.reshape(B, nb, BUCKET).astype(jnp.float32)
-    fetched = jnp.einsum('bpn,bnk->bpk', oh, tb,
-                         preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
+    fetched = jax.lax.dot_general(
+        oh, tb, (((oh.ndim - 1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)       # (B, ..., BUCKET)
 
     within = jnp.sum(fetched < idf, axis=-1).astype(jnp.int32)
     found = jnp.any(fetched == idf, axis=-1)
@@ -157,14 +166,17 @@ def ids_to_slots(ids: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
 
 
 def intersection_matrix(
-    gt_slots: jnp.ndarray,    # (B, P) in [0, S_gt]
-    pred_slots: jnp.ndarray,  # (B, P) in [0, S_pred]
+    gt_slots: jnp.ndarray,    # (B, ...) in [0, S_gt]
+    pred_slots: jnp.ndarray,  # (B, ...) in [0, S_pred]
     n_gt: int,
     n_pred: int,
 ) -> jnp.ndarray:
     """(B, S_gt+1, S_pred+1) float32 pixel counts per (gt, pred) segment
     pair; the last row/column holds out-of-table pixels. Exact (bf16
-    0/1 one-hots, f32 accumulation, counts < 2^24).
+    0/1 one-hots, f32 accumulation, counts < 2^24). The pixel axes may
+    stay multi-dimensional ((B, H, W) slot maps contract both spatial
+    dims in one dot_general -- flattening them first costs a
+    linearization copy of the batch-minor maps).
 
     A Pallas twin that builds the one-hots per pixel tile in VMEM and
     accumulates the MXU product in the output block exists
@@ -176,5 +188,8 @@ def intersection_matrix(
     the feared (B, P, S) HBM materialization does not actually bind."""
     oh_gt = jax.nn.one_hot(gt_slots, n_gt + 1, dtype=jnp.bfloat16)
     oh_pred = jax.nn.one_hot(pred_slots, n_pred + 1, dtype=jnp.bfloat16)
-    return jnp.einsum('bpg,bpq->bgq', oh_gt, oh_pred,
-                      preferred_element_type=jnp.float32)
+    px_gt = tuple(range(1, gt_slots.ndim))
+    px_pred = tuple(range(1, pred_slots.ndim))
+    return jax.lax.dot_general(
+        oh_gt, oh_pred, ((px_gt, px_pred), ((0,), (0,))),
+        preferred_element_type=jnp.float32)

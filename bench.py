@@ -221,9 +221,22 @@ def run_eval_bench(args, model, H, W, n_classes, is_thing):
 
     state = pipeline.create_train_state(
         jax.random.PRNGKey(0), pipeline.model_inputs(arrays))
-    _, _, states = step(state['params'], state['batch_stats'],
-                        arrays, states)                  # compile
-    float(np.asarray(states['semantic']).sum())
+    try:
+        _, _, states = step(state['params'], state['batch_stats'],
+                            arrays, states)              # compile
+        float(np.asarray(states['semantic']).sum())
+    except Exception as e:
+        if 'RESOURCE_EXHAUSTED' in str(e) or 'memory' in str(e).lower():
+            sys.exit(
+                f'eval batch {B} exceeds single-chip HBM for the full '
+                'fused program (model + logits + metric states). '
+                'Measured-supported batches: any multiple of 8 up to '
+                '128, and 256; B128 (default) and B256 are the '
+                'recommended points. B192 specifically OOMs: its '
+                'remainder chunk adds XLA phase-chain temporaries on '
+                'top of a B256-equivalent footprint (PERF.md '
+                'batch-size boundaries).')
+        raise
 
     # scalar fetch, not block_until_ready (see train bench comment)
     iters = 3 if args.quick else args.iters

@@ -115,8 +115,9 @@ def build_preprocessor(height, width):
         Resize(height=height, width=width),
         MultiscaleSupervisionGenerator(
             downscales=(4, 8, 16, 32), keys=('semantic', 'instance')),
-        InstanceTargetGenerator(sigma=8,
-                                semantic_classes_is_thing=IS_THING),
+        InstanceTargetGenerator(
+            sigma=8, semantic_classes_is_thing=IS_THING,
+            sigma_for_additional_downscales={4: 2, 8: 2, 16: 1, 32: 1}),
         PanopticTargetGenerator(semantic_classes_is_thing=IS_THING),
         NormalizeRGB(),
         NormalizeDepth(depth_mean=8000.0, depth_std=4000.0,

@@ -35,6 +35,10 @@ def main():
     H, W = 480, 640
     config = BENCH_CONFIGS['emsaformer_dve_v2'](
         input_size=(H, W), dtype=jnp.bfloat16)
+    # match the bench serve program: deferred bilinear finisher (the
+    # fullres ladder otherwise materializes a 20 GB copy at B128)
+    config = dataclasses.replace(
+        config, defer_semantic_prediction_upsampling='all')
     if args.attn_qkv:
         config = dataclasses.replace(config,
                                      backbone_attn_backend='pallas-qkv')

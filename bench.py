@@ -421,6 +421,12 @@ def main():
                         help='serving: fused-qkv window attention '
                              '(slicing + v2 normalize/scale inside the '
                              'kernel; forward-only)')
+    parser.add_argument('--attn-block', action='store_true',
+                        help='serving: whole-sub-block window '
+                             'attention kernel (qkv GEMM + v2 norm + '
+                             'attention + output projection in VMEM; '
+                             'kills the q/k/v/proj relayout copies; '
+                             'forward-only)')
     parser.add_argument('--remat', action='store_true',
                         help='gradient-checkpoint backbone blocks (Swin '
                              'AND ResNet/NBt1D) + dense decoder blocks '
@@ -528,6 +534,11 @@ def main():
                 and config.backbone_rgbd.startswith('swin'):
             config = dataclasses.replace(
                 config, backbone_attn_backend='pallas-qkv')
+        if args.attn_block and not args.train and not args.eval \
+                and config.backbone_rgbd \
+                and config.backbone_rgbd.startswith('swin'):
+            config = dataclasses.replace(
+                config, backbone_attn_backend='pallas-block')
     model = build_model(config)
 
     post = PanopticPostprocessing(

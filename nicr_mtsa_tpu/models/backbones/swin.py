@@ -117,22 +117,58 @@ class QKVProjection(nn.Module):
     of the qkv bias on EVERY forward: k is L2-normalized per head, so
     a key bias is not a no-op and the reference explicitly disables
     it. The parameter tree matches nn.Dense ('kernel'/'bias'), so
-    ported checkpoints and v1 models are unaffected."""
+    ported checkpoints and v1 models are unaffected. Setup-based so
+    `weights()` can hand the raw kernel/bias to fused kernels that
+    run the GEMM themselves (attn_backend='pallas-block')."""
     features: int
+    in_features: int
     zero_k_bias: bool = False
     kernel_init: Any = None
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x):
-        kernel = self.param('kernel', self.kernel_init or _trunc_normal(),
-                            (x.shape[-1], self.features))
-        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+    def setup(self):
+        self.kernel = self.param(
+            'kernel', self.kernel_init or _trunc_normal(),
+            (self.in_features, self.features))
+        self.bias = self.param('bias', nn.initializers.zeros,
+                               (self.features,))
+
+    def weights(self):
+        bias = jnp.asarray(self.bias)
         if self.zero_k_bias:
             C = self.features // 3
-            bias = jnp.asarray(bias).at[C:2 * C].set(0.0)
+            bias = bias.at[C:2 * C].set(0.0)
+        return self.kernel, bias
+
+    def __call__(self, x):
+        kernel, bias = self.weights()
         x, kernel, bias = nn.dtypes.promote_dtype(
             x, kernel, bias, dtype=self.dtype)
+        return jnp.dot(x, kernel) + bias
+
+
+class DenseWeights(nn.Module):
+    """nn.Dense twin (identical parameter tree and __call__
+    semantics) that can also expose its raw weights to fused kernels
+    (the attention output projection under 'pallas-block')."""
+    features: int
+    in_features: int
+    kernel_init: Any = None
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.kernel = self.param(
+            'kernel', self.kernel_init or _trunc_normal(),
+            (self.in_features, self.features))
+        self.bias = self.param('bias', nn.initializers.zeros,
+                               (self.features,))
+
+    def weights(self):
+        return self.kernel, jnp.asarray(self.bias)
+
+    def __call__(self, x):
+        x, kernel, bias = nn.dtypes.promote_dtype(
+            x, self.kernel, self.bias, dtype=self.dtype)
         return jnp.dot(x, kernel) + bias
 
 
@@ -182,21 +218,60 @@ class WindowAttention(nn.Module):
         window grid (the dense (nW, N, N) mask and the fused kernel's
         pattern table both derive from it at trace time)."""
         from ...ops.pallas.window_attention import (
-            fused_window_attention, supports_fused_window_attention,
+            fused_window_attention, fused_window_attention_block,
+            supports_fused_window_attention,
+            supports_fused_window_attention_block,
         )
 
         Bw, N, C = x.shape
         h = self.n_heads
         d = C // h
 
-        qkv = QKVProjection(3 * C, zero_k_bias=self.v2, dtype=self.dtype,
-                            name='qkv')(x)
+        qkv_mod = QKVProjection(3 * C, in_features=C,
+                                zero_k_bias=self.v2, dtype=self.dtype,
+                                name='qkv')
+        proj_mod = DenseWeights(C, in_features=C,
+                                kernel_init=_trunc_normal(),
+                                dtype=self.dtype, name='proj')
         bias = self._position_bias(N)
 
         backend = self.backend
         if backend == 'auto':
             backend = ('pallas' if jax.default_backend() == 'tpu'
                        else 'xla')
+
+        # whole-sub-block kernel: qkv GEMM + v2 norm + attention +
+        # output projection in VMEM; only the windowed x enters and
+        # the projected output leaves (no qkv/q/k/v/proj-side layout
+        # copies). Serving only (no VJP): training falls back to the
+        # custom-VJP q/k/v kernel.
+        use_fused_block = (not train
+                           and backend in ('pallas-block',
+                                           'pallas-block-interpret')
+                           and supports_fused_window_attention_block(
+                               Bw, N, C, h))
+        if use_fused_block:
+            if shift_spec is not None:
+                Hp, Wp, ws, sh, sw = shift_spec
+                grid_hw = (Hp // ws, Wp // ws)
+                shift_masks = _shift_attn_mask(Hp, Wp, ws, sh, sw)
+            else:
+                grid_hw, shift_masks = (1, 1), None
+            scale_vec = (self._v2_scale()[:, 0, 0].astype(jnp.float32)
+                         if self.v2 else None)
+            wqkv, bqkv = qkv_mod.weights()
+            wproj, bproj = proj_mod.weights()
+            out = fused_window_attention_block(
+                x.astype(self.dtype), wqkv, bqkv, wproj, bproj, bias,
+                h, grid_hw, shift_masks, v2_scale=scale_vec,
+                interpret=backend == 'pallas-block-interpret')
+            return out.astype(self.dtype)
+        if backend == 'pallas-block':          # unsupported shape
+            backend = 'pallas'
+        elif backend == 'pallas-block-interpret':
+            backend = 'pallas-interpret'
+
+        qkv = qkv_mod(x)
         # training uses the kernel too: the flash-style custom VJP
         # (ops/pallas/window_attention._attention_core_bwd) recomputes
         # the logits from the saved logsumexp, so neither direction
@@ -313,8 +388,7 @@ class WindowAttention(nn.Module):
                              preferred_element_type=jnp.float32)
             out = out.reshape(Bw, N, C).astype(self.dtype)
 
-        return nn.Dense(C, dtype=self.dtype,
-                        kernel_init=_trunc_normal(), name='proj')(out)
+        return proj_mod(out)
 
 
 class SwinBlock(nn.Module):

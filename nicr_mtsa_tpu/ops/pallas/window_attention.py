@@ -184,6 +184,176 @@ def _make_fwd_kernel_qkv(T: int, N: int, C: int, h: int,
     return kernel
 
 
+def _make_fwd_kernel_block(T: int, N: int, C: int, h: int,
+                           n_patterns: int, nW: int, nWw: int, nWh: int,
+                           out_dtype, v2: bool, scale_const: float):
+    """Whole attention sub-block over the WINDOWED LN output x:
+    qkv GEMM + (v2) per-head cosine normalization + logit scale +
+    QK^T + bias + shift-mask + softmax + PV + output projection, all
+    per window pair in VMEM. The only large-tensor boundaries left
+    are the window partition in and the row-major output -- every
+    q/k/v/qkv/proj-side relayout copy XLA inserted around the
+    narrower kernels disappears (PERF.md EMSAFormer roofline: those
+    copies measured 116 ms x192 at B128 vs 73.8 ms of attention).
+    Serving only: no VJP."""
+    d = C // h
+    N2 = 2 * N
+    pattern_id = _pattern_id_fn(nW, nWw, nWh)
+
+    def kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref,
+               bias_ref, pmask_ref, scale_ref, o_ref):
+        t = pl.program_id(0)
+
+        def pair(p, _):
+            x2 = x_ref[pl.ds(2 * p, 2)].reshape(N2, C)
+            # qkv GEMM: f32 MXU accumulation, rounded to the compute
+            # dtype before the bias add (XLA's jnp.dot + bias order)
+            blk = jax.lax.dot_general(
+                x2, wqkv_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            blk = blk.astype(x2.dtype) + bqkv_ref[...]
+
+            if n_patterns == 1:
+                pm = pmask_ref[0]
+            else:
+                g0 = t * T + 2 * p
+                pid = pattern_id(g0) * 4 + pattern_id(g0 + 1)
+                pm = pmask_ref[pid]
+
+            pieces = []
+            for j in range(h):
+                qs = blk[:, j * d:(j + 1) * d]
+                ks = blk[:, C + j * d:C + (j + 1) * d]
+                vs = blk[:, 2 * C + j * d:2 * C + (j + 1) * d]
+                if v2:
+                    qf = qs.astype(jnp.float32)
+                    kf = ks.astype(jnp.float32)
+                    qn = jnp.sqrt(jnp.sum(qf * qf, axis=1,
+                                          keepdims=True))
+                    kn = jnp.sqrt(jnp.sum(kf * kf, axis=1,
+                                          keepdims=True))
+                    qf = (qf / jnp.maximum(qn, 1e-6)).astype(qs.dtype)
+                    kf = (kf / jnp.maximum(kn, 1e-6)).astype(ks.dtype)
+                    lt = jax.lax.dot_general(
+                        kf, qf, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    lt = lt * scale_ref[0, j]
+                else:
+                    lt = jax.lax.dot_general(
+                        ks, qs, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    lt = lt * scale_const
+                lt = lt + bias_ref[j] + pm
+                mx = jnp.max(lt, axis=0, keepdims=True)
+                e = jnp.exp(lt - mx)
+                s = jnp.sum(e, axis=0, keepdims=True)
+                prob = (e / s).astype(blk.dtype)
+                pieces.append(jax.lax.dot_general(
+                    prob, vs, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            attn = jnp.concatenate(pieces, axis=1).astype(x2.dtype)
+            # output projection in VMEM (weights resident)
+            o = jax.lax.dot_general(
+                attn, wproj_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o = o.astype(out_dtype) + bproj_ref[...]
+            o_ref[pl.ds(2 * p, 2)] = o.reshape(2, N, C)
+            return 0
+
+        jax.lax.fori_loop(0, T // 2, pair, 0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('n_heads', 'grid_hw', 'tile_windows', 'v2',
+                     'scale_const', 'interpret'))
+def _fwd_call_block(x, wqkv, bqkv, wproj, bproj, bias_pair,
+                    pattern_pairs, scale_vec, n_heads, grid_hw,
+                    tile_windows, v2, scale_const, interpret):
+    Bw, N, C = x.shape
+    nWh, nWw = grid_hw
+    T = tile_windows
+    h = n_heads
+
+    io = pl.BlockSpec((T, N, C), lambda i: (i, 0, 0),
+                      memory_space=pltpu.VMEM)
+    const = lambda s: pl.BlockSpec(s, lambda i: (0,) * len(s),
+                                   memory_space=pltpu.VMEM)
+    n_patterns = 1 if pattern_pairs.shape[0] == 1 else 4
+    return pl.pallas_call(
+        _make_fwd_kernel_block(T, N, C, h, n_patterns,
+                               nWh * nWw, nWw, nWh, x.dtype, v2,
+                               scale_const),
+        grid=(Bw // T,),
+        in_specs=[io, const(wqkv.shape), const(bqkv.shape),
+                  const(wproj.shape), const(bproj.shape),
+                  const(bias_pair.shape), const(pattern_pairs.shape),
+                  const(scale_vec.shape)],
+        out_specs=io,
+        out_shape=jax.ShapeDtypeStruct((Bw, N, C), x.dtype),
+        interpret=interpret,
+    )(x, wqkv, bqkv, wproj, bproj, bias_pair, pattern_pairs, scale_vec)
+
+
+def fused_window_attention_block(
+    x: jnp.ndarray,            # (Bw, N, C) windowed LN output
+    wqkv: jnp.ndarray,         # (C, 3C)
+    bqkv: jnp.ndarray,         # (3C,) (v2 k-third already zeroed)
+    wproj: jnp.ndarray,        # (C, C)
+    bproj: jnp.ndarray,        # (C,)
+    bias: jnp.ndarray,         # (h, N, N) additive, query-major
+    n_heads: int,
+    grid_hw: Tuple[int, int],
+    shift_masks: Optional[np.ndarray] = None,
+    v2_scale: Optional[jnp.ndarray] = None,   # (h,) f32 logit scale
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Serving-only whole-sub-block kernel (see _make_fwd_kernel_block).
+    Returns (Bw, N, C) = proj(attention(qkv(x))), row-major. Numerics:
+    qkv/proj GEMMs accumulate f32 on the MXU and round to the compute
+    dtype at the same points as the XLA path; v2 normalization runs
+    f32 in-kernel (the XLA path normalizes in the compute dtype), so
+    bf16 outputs differ within rounding noise; f32 agrees to ~1e-6."""
+    Bw, N, C = x.shape
+    Np = PADDED_TOKENS
+    T = pick_tile_windows(Bw, C)
+    assert T and N <= Np, (Bw, N, C)
+
+    n_valid = N if N < Np else None
+    if N < Np:
+        x = jnp.pad(x, ((0, 0), (0, Np - N), (0, 0)))
+        bias = jnp.pad(bias, ((0, 0), (0, Np - N), (0, Np - N)))
+
+    d = C // n_heads
+    v2 = v2_scale is not None
+    scale_vec = (v2_scale.astype(jnp.float32).reshape(1, n_heads)
+                 if v2 else jnp.zeros((1, n_heads), jnp.float32))
+    bias_pair = build_bias_pair(bias)
+    patterns = jnp.asarray(
+        build_pattern_pairs(Np, shift_masks, grid_hw, n_valid=n_valid))
+    out = _fwd_call_block(
+        x, wqkv.astype(x.dtype), bqkv.astype(x.dtype).reshape(1, -1),
+        wproj.astype(x.dtype), bproj.astype(x.dtype).reshape(1, -1),
+        bias_pair, patterns, scale_vec, n_heads, tuple(grid_hw), T,
+        v2, float(d) ** -0.5, interpret)
+    return out[:, :N] if N < Np else out
+
+
+def supports_fused_window_attention_block(Bw: int, N: int, C: int,
+                                          n_heads: int) -> bool:
+    """Adds a VMEM-residency bound for the weights on top of the base
+    shape gate: wqkv (C, 3C) + wproj (C, C) + the (16, 2N, 2N) f32
+    pattern table must fit comfortably (stage C=1024 weights alone are
+    8 MB bf16 -- left on the narrower kernels)."""
+    if not supports_fused_window_attention(Bw, N, C, n_heads):
+        return False
+    weight_bytes = (C * 3 * C + C * C) * 2
+    return weight_bytes <= 4 * 1024 * 1024
+
+
 @functools.partial(
     jax.jit,
     static_argnames=('n_heads', 'grid_hw', 'tile_windows', 'v2',

@@ -30,31 +30,48 @@ def main():
 
     from nicr_mtsa_tpu.configs import BENCH_CONFIGS
     from nicr_mtsa_tpu.models.multi_task import build_model
+    from nicr_mtsa_tpu.pipeline import PanopticInferencePipeline
+    from nicr_mtsa_tpu.postprocessing import (
+        InstancePostprocessing, PanopticPostprocessing,
+        SemanticPostprocessing,
+    )
     import dataclasses
 
     H, W = 480, 640
+    n_classes = 40
+    is_thing = tuple(i < 8 for i in range(n_classes))
     config = BENCH_CONFIGS['emsaformer_dve_v2'](
         input_size=(H, W), dtype=jnp.bfloat16)
-    # match the bench serve program: deferred bilinear finisher (the
-    # fullres ladder otherwise materializes a 20 GB copy at B128)
+    # match the bench serve program exactly (incl. the deferred
+    # bilinear finisher -- the raw model forward alone materializes a
+    # 20 GB fullres-ladder copy at B128 and will not even compile)
     config = dataclasses.replace(
         config, defer_semantic_prediction_upsampling='all')
     if args.attn_qkv:
         config = dataclasses.replace(config,
                                      backbone_attn_backend='pallas-qkv')
     model = build_model(config)
+    post = PanopticPostprocessing(
+        semantic_postprocessing=SemanticPostprocessing(),
+        instance_postprocessing=InstancePostprocessing(
+            heatmap_threshold=0.1, heatmap_nms_kernel_size=3,
+            top_k_instances=64),
+        semantic_classes_is_thing=is_thing,
+        semantic_class_has_orientation=is_thing,
+    )
+    pipe = PanopticInferencePipeline(model, post)
 
     B = args.batch_size
-    inputs = {'rgbd': jnp.zeros((B, H, W, 4), jnp.bfloat16)}
-    variables = jax.eval_shape(
+    rgb = jax.ShapeDtypeStruct((B, H, W, 3), jnp.uint8)
+    depth = jax.ShapeDtypeStruct((B, H, W), jnp.uint16)
+    inputs = {'rgbd': jnp.zeros((1, H, W, 4), jnp.bfloat16)}
+    var_shapes = jax.eval_shape(
         lambda r: model.init({'params': r}, inputs, train=False),
         jax.random.PRNGKey(0))
     variables = jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, s.dtype), variables)
+        lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype), var_shapes)
 
-    lowered = jax.jit(
-        lambda v, x: model.apply(v, x, train=False)).lower(
-            variables, inputs)
+    lowered = jax.jit(pipe._infer_impl).lower(variables, rgb, depth)
     compiled = lowered.compile()
     hlo = compiled.as_text()
     if args.full:

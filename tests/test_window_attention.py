@@ -268,3 +268,71 @@ def test_fused_bf16_gradients_compile(v2):
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.all(np.isfinite(np.asarray(l, np.float32)))
                for l in leaves)
+
+
+@pytest.mark.parametrize('v2', [False, True])
+def test_fused_block_matches_xla_unshifted(v2):
+    # whole-sub-block variant: qkv GEMM + v2 norm + attention + output
+    # projection inside the kernel; must match the XLA path at f32
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.normal(size=(4, 64, 128)).astype(np.float32))
+    xla = WindowAttention(dim=128, n_heads=4, window_size=8, v2=v2,
+                          backend='xla')
+    fused = WindowAttention(dim=128, n_heads=4, window_size=8, v2=v2,
+                            backend='pallas-block-interpret')
+    variables = xla.init(jax.random.PRNGKey(9), x)
+    ref = np.asarray(xla.apply(variables, x))
+    got = np.asarray(fused.apply(variables, x))
+    np.testing.assert_allclose(got, ref, rtol=3e-5, atol=3e-5)
+
+
+@pytest.mark.parametrize('v2', [False, True])
+def test_fused_block_matches_xla_shifted(v2):
+    ws, shift = 8, 4
+    Hp, Wp = 16, 24
+    nW = (Hp // ws) * (Wp // ws)
+    rng = np.random.default_rng(37)
+    x = jnp.asarray(
+        rng.normal(size=(2 * nW, 64, 128)).astype(np.float32))
+    shift_spec = (Hp, Wp, ws, shift, shift)
+    xla = WindowAttention(dim=128, n_heads=4, window_size=8, v2=v2,
+                          backend='xla')
+    fused = WindowAttention(dim=128, n_heads=4, window_size=8, v2=v2,
+                            backend='pallas-block-interpret')
+    variables = xla.init(jax.random.PRNGKey(11), x, shift_spec)
+    ref = np.asarray(xla.apply(variables, x, shift_spec))
+    got = np.asarray(fused.apply(variables, x, shift_spec))
+    np.testing.assert_allclose(got, ref, rtol=3e-5, atol=3e-5)
+
+
+def test_fused_block_matches_xla_v1_win7_padded():
+    # v1 49-token windows pad to 64: pad tokens flow through the
+    # in-kernel qkv GEMM but their keys are masked and their rows
+    # sliced away
+    rng = np.random.default_rng(41)
+    x = jnp.asarray(rng.normal(size=(4, 49, 128)).astype(np.float32))
+    xla = WindowAttention(dim=128, n_heads=4, window_size=7, v2=False,
+                          backend='xla')
+    fused = WindowAttention(dim=128, n_heads=4, window_size=7, v2=False,
+                            backend='pallas-block-interpret')
+    variables = xla.init(jax.random.PRNGKey(13), x)
+    ref = np.asarray(xla.apply(variables, x))
+    got = np.asarray(fused.apply(variables, x))
+    np.testing.assert_allclose(got, ref, rtol=3e-5, atol=3e-5)
+
+
+def test_fused_block_param_tree_matches_xla():
+    """'pallas-block' must keep the parameter tree identical to the
+    XLA/fused paths (checkpoints interchange)."""
+    x = jnp.zeros((4, 64, 128), jnp.float32)
+    xla = WindowAttention(dim=128, n_heads=4, window_size=8, v2=True,
+                          backend='xla')
+    blk = WindowAttention(dim=128, n_heads=4, window_size=8, v2=True,
+                          backend='pallas-block-interpret')
+    v1 = xla.init(jax.random.PRNGKey(0), x)
+    v2_ = blk.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v1) == \
+        jax.tree_util.tree_structure(v2_)
+    for a, b in zip(jax.tree_util.tree_leaves(v1),
+                    jax.tree_util.tree_leaves(v2_)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -237,7 +237,11 @@ class WindowAttention(nn.Module):
 
         backend = self.backend
         if backend == 'auto':
-            backend = ('pallas' if jax.default_backend() == 'tpu'
+            # inference default: the whole-sub-block kernel (qkv GEMM
+            # + attention + proj in VMEM; 171.5 -> 182.8 f/s measured
+            # at serve B128). Training and unsupported shapes fall
+            # back to the custom-VJP q/k/v kernel below.
+            backend = ('pallas-block' if jax.default_backend() == 'tpu'
                        else 'xla')
 
         # whole-sub-block kernel: qkv GEMM + v2 norm + attention +

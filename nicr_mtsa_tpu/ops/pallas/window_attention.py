@@ -350,8 +350,10 @@ def supports_fused_window_attention_block(Bw: int, N: int, C: int,
     8 MB bf16 -- left on the narrower kernels)."""
     if not supports_fused_window_attention(Bw, N, C, n_heads):
         return False
+    # C=1024: weights 8.4 MB + (h=32) bias pair 2.1 MB + pattern
+    # table + tiles ~ 12.5 MB -- fits VMEM with the T<=4 tile cap
     weight_bytes = (C * 3 * C + C * C) * 2
-    return weight_bytes <= 4 * 1024 * 1024
+    return weight_bytes <= 9 * 1024 * 1024
 
 
 @functools.partial(

@@ -321,6 +321,28 @@ def test_fused_block_matches_xla_v1_win7_padded():
     np.testing.assert_allclose(got, ref, rtol=3e-5, atol=3e-5)
 
 
+@pytest.mark.parametrize('v2', [False, True])
+def test_fused_block_matches_xla_c1024(v2):
+    # the widest Swin-T-128 stage (C=1024, 32 heads): weights are
+    # 8.4 MB bf16, admitted by the 9 MB VMEM residency bound in
+    # supports_fused_window_attention_block (T<=4 tile cap keeps the
+    # activation tiles small enough alongside them)
+    from nicr_mtsa_tpu.ops.pallas.window_attention import (
+        supports_fused_window_attention_block,
+    )
+    assert supports_fused_window_attention_block(2, 64, 1024, 32)
+    rng = np.random.default_rng(43)
+    x = jnp.asarray(rng.normal(size=(2, 64, 1024)).astype(np.float32))
+    xla = WindowAttention(dim=1024, n_heads=32, window_size=8, v2=v2,
+                          backend='xla')
+    fused = WindowAttention(dim=1024, n_heads=32, window_size=8, v2=v2,
+                            backend='pallas-block-interpret')
+    variables = xla.init(jax.random.PRNGKey(17), x)
+    ref = np.asarray(xla.apply(variables, x))
+    got = np.asarray(fused.apply(variables, x))
+    np.testing.assert_allclose(got, ref, rtol=5e-5, atol=5e-5)
+
+
 def test_fused_block_param_tree_matches_xla():
     """'pallas-block' must keep the parameter tree identical to the
     XLA/fused paths (checkpoints interchange)."""

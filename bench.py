@@ -58,7 +58,8 @@ def run_train_bench(args, model, H, W, n_classes, is_thing, rng):
         donate_train_state=True,
     )
 
-    B = args.batch_size or (2 if args.quick else 48)   # 16->69.8, 32->83.5, 48->93.6, 64->91.6 f/s
+    # sweep: 16 -> 69.8, 32 -> 83.5, 48 -> 93.6, 64 -> 91.6 f/s
+    B = args.batch_size or (2 if args.quick else 48)
     if getattr(model, 'encoder', None) is not None and \
             getattr(model.encoder, 'backbone', None) is not None and \
             getattr(model.encoder.backbone, 'n_input_channels', 3) == 4:
@@ -117,10 +118,16 @@ def run_train_bench(args, model, H, W, n_classes, is_thing, rng):
     }))
 
 
-def run_eval_bench(args, model, H, W, n_classes, is_thing):
+def run_eval_bench(args, model, H, W, n_classes, is_thing, emit=True,
+                   config=None):
     """Fused eval-step throughput: the full preproc-targets -> forward
     -> postprocessing -> panoptic merge -> metric-state chain in one
-    jit program (the north-star description incl. metrics)."""
+    jit program (the north-star description incl. metrics).
+
+    With emit=False, prints nothing and returns the measured frames/s
+    (used by the default serving bench to report BOTH paths in its
+    single JSON line -- the driver-visible number must not hide the
+    metrics-inclusive path, round-4 verdict item 8)."""
     import json
     import time
 
@@ -149,24 +156,51 @@ def run_eval_bench(args, model, H, W, n_classes, is_thing):
     n_with_void = n_classes + 1
     is_thing_v = (False,) + tuple(is_thing)
 
+    tasks = tuple(getattr(config, 'tasks', ()) or
+                  ('semantic', 'instance', 'orientation', 'scene'))
+    with_dve = 'dense_visual_embedding' in tasks
+    embedding_dim = getattr(config, 'embedding_dim', 512) or 512
+
+    rng_e = np.random.default_rng(7)
+
+    def _unit_rows(n, d):
+        m = rng_e.normal(size=(n, d)).astype(np.float32)
+        return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    dve_kwargs = {}
+    task_helpers = {
+        'semantic': SemanticTaskHelper(n_classes=n_classes),
+        'instance': InstanceTaskHelper(
+            semantic_n_classes=n_with_void,
+            semantic_classes_is_thing=is_thing_v,
+            top_k_instances=64),
+        'panoptic': PanopticTaskHelper(
+            semantic_n_classes=n_with_void,
+            semantic_classes_is_thing=is_thing_v),
+        'scene': SceneTaskHelper(n_classes=10),
+    }
+    if with_dve:
+        # synthetic class-embedding tables for the text / visual-mean
+        # retrieval heads (the reference loads CLIP text + distilled
+        # visual-mean embeddings; throughput is embedding-agnostic)
+        from nicr_mtsa_tpu.tasks import DenseVisualEmbeddingTaskHelper
+        dve_kwargs = dict(
+            with_text_embeddings_per_class=True,
+            text_embeddings_per_class=_unit_rows(
+                n_classes, embedding_dim),
+            with_mean_visual_embedding_per_class=True,
+            mean_visual_embedding_per_class=_unit_rows(
+                n_classes, embedding_dim))
+        task_helpers['dense_visual_embedding'] = \
+            DenseVisualEmbeddingTaskHelper(n_classes=n_classes)
+
     pipeline = MultiTaskPipeline(
         model=model,
         postprocessors=default_postprocessors(
-            tasks=('semantic', 'instance', 'orientation', 'scene',
-                   'panoptic'),
+            tasks=tasks + ('panoptic',),
             semantic_classes_is_thing=is_thing,
-            top_k_instances=64),
-        task_helpers={
-            'semantic': SemanticTaskHelper(n_classes=n_classes),
-            'instance': InstanceTaskHelper(
-                semantic_n_classes=n_with_void,
-                semantic_classes_is_thing=is_thing_v,
-                top_k_instances=64),
-            'panoptic': PanopticTaskHelper(
-                semantic_n_classes=n_with_void,
-                semantic_classes_is_thing=is_thing_v),
-            'scene': SceneTaskHelper(n_classes=10),
-        },
+            top_k_instances=64, **dve_kwargs),
+        task_helpers=task_helpers,
     )
 
     pre = Compose([
@@ -205,6 +239,28 @@ def run_eval_bench(args, model, H, W, n_classes, is_thing):
             s['scene'] = (i % 9) + 1
             samples.append(pre(s))
     batch = mt_collate(samples)
+
+    if with_dve:
+        # synthetic per-segment embedding targets in the target
+        # generator's output contract (LUT row j <-> index image value
+        # j, 0 = void; data/preprocessing/dense_visual_embedding.py),
+        # padded host-side to (B, L+1, D) for the jitted step
+        from nicr_mtsa_tpu.tasks.dense_visual_embedding import (
+            pad_embedding_luts,
+        )
+        pan = np.asarray(batch['panoptic'])
+        luts, idx_imgs = [], []
+        for b in range(B):
+            ids = np.unique(pan[b])
+            ids = ids[ids != 0]
+            luts.append(_unit_rows(len(ids), embedding_dim))
+            index_img = np.zeros(pan[b].shape, np.int32)
+            for j, sid in enumerate(ids, start=1):
+                index_img[pan[b] == sid] = j
+            idx_imgs.append(index_img)
+        batch['dense_visual_embedding_lut'] = pad_embedding_luts(
+            luts, embedding_dim)
+        batch['dense_visual_embedding_indices'] = np.stack(idx_imgs)
 
     static_batch = {
         APPLIED_PREPROCESSING_KEY: batch[APPLIED_PREPROCESSING_KEY],
@@ -259,6 +315,8 @@ def run_eval_bench(args, model, H, W, n_classes, is_thing):
                 for k, v in sorted(logs.items()):
                     print(f'# {k}: {float(v):.4f}', file=sys.stderr)
 
+    if not emit:
+        return fps
     print(json.dumps({
         'metric': 'multitask_eval_frames_per_sec_per_chip_640x480'
                   if not args.quick else
@@ -267,6 +325,7 @@ def run_eval_bench(args, model, H, W, n_classes, is_thing):
         'unit': 'frames/s/chip',
         'vs_baseline': round(fps / 625.0, 4),
     }))
+    return fps
 
 
 def run_stream_bench(args, pipe, model, H, W, rng):
@@ -557,7 +616,8 @@ def main():
         run_train_bench(args, model, H, W, n_classes, is_thing, rng)
         return
     if args.eval:
-        run_eval_bench(args, model, H, W, n_classes, is_thing)
+        run_eval_bench(args, model, H, W, n_classes, is_thing,
+                       config=config)
         return
     if args.latency:
         run_latency_bench(args, pipe, model, H, W, rng)
@@ -641,6 +701,25 @@ def main():
         # north star: 5000 frames/s on v5e-8 => 625 per chip
         'vs_baseline': round(best / 625.0, 4),
     }
+    if args.model == 'emsanet-bench':
+        # the driver-visible line must carry the north-star-COMPLETE
+        # number too (forward + postproc + merge + metric states; the
+        # serving path alone omits the metric machinery the north star
+        # includes -- round-4 verdict item 8)
+        import dataclasses
+        try:
+            eval_config = dataclasses.replace(
+                config, defer_semantic_prediction_upsampling=False)
+            eval_fps = run_eval_bench(args, build_model(eval_config),
+                                      H, W, n_classes, is_thing,
+                                      emit=False, config=eval_config)
+            result['eval_value'] = round(eval_fps, 2)
+            result['eval_vs_baseline'] = round(eval_fps / 625.0, 4)
+        except (Exception, SystemExit) as e:
+            print(f'# eval extra failed: {type(e).__name__}: {e}',
+                  file=sys.stderr)
+            result['eval_value'] = 0.0
+            result['eval_vs_baseline'] = 0.0
     print(json.dumps(result))
 
 

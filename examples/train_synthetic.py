@@ -166,8 +166,10 @@ def main():
         logger.log(logs)
         cprint_step(f"epoch {epoch}: loss={train_loss:.3f} "
               f"miou={logs.get('valid_semantic_miou', float('nan')):.3f} "
-              f"pq={logs.get('valid_panoptic_all_deeplab_pq', float('nan')):.3f} "
-              f"dwa={ {k: round(v, 2) for k, v in pipeline.loss_weighting.weights.items()} }")
+              f"pq="
+              f"{logs.get('valid_panoptic_all_deeplab_pq', float('nan')):.3f} "
+              f"dwa={ {k: round(v, 2) for k, v in
+                      pipeline.loss_weighting.weights.items()} }")
 
         if to_save:
             path = save_checkpoint(

@@ -175,8 +175,10 @@ def adjust_hsv(
 
     img_hsv = rgb_to_hsv_uint8(img_rgb)
     img_h = ((img_hsv[..., 0].astype('int') + h_offset) % 180).astype('uint8')
-    img_s = np.clip(img_hsv[..., 1].astype('int') + s_offset, 0, 255).astype('uint8')
-    img_v = np.clip(img_hsv[..., 2].astype('int') + v_offset, 0, 255).astype('uint8')
+    img_s = np.clip(img_hsv[..., 1].astype('int') + s_offset,
+                    0, 255).astype('uint8')
+    img_v = np.clip(img_hsv[..., 2].astype('int') + v_offset,
+                    0, 255).astype('uint8')
     return hsv_to_rgb_uint8(np.stack([img_h, img_s, img_v], axis=2))
 
 

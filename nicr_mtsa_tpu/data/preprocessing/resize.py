@@ -91,7 +91,8 @@ def _nearest_indices(n_src: int, n_dst: int) -> np.ndarray:
     return np.clip(idx, 0, n_src - 1)
 
 
-def resize_image_nearest(value: np.ndarray, height: int, width: int) -> np.ndarray:
+def resize_image_nearest(value: np.ndarray, height: int,
+                         width: int) -> np.ndarray:
     """Nearest resize via index gather; exact for any dtype. Uses the
     native multithreaded kernel (native/mtsa_preproc.cpp) when built,
     with this numpy path as the exact-equivalent fallback."""
@@ -107,7 +108,8 @@ def resize_image_nearest(value: np.ndarray, height: int, width: int) -> np.ndarr
     return value[yi[:, None], xi[None, :], ...]
 
 
-def resize_image_bilinear(value: np.ndarray, height: int, width: int) -> np.ndarray:
+def resize_image_bilinear(value: np.ndarray, height: int,
+                          width: int) -> np.ndarray:
     """Half-pixel-centered bilinear resize with edge clamping
     (cv2.INTER_LINEAR semantics)."""
     h, w = value.shape[:2]

@@ -16,7 +16,8 @@ class KeyCleaner(PreprocessingBase):
         multiscale_processing: bool = True,
         **kwargs,
     ) -> None:
-        self._keys_to_clean = keys_to_clean if keys_to_clean is not None else []
+        self._keys_to_clean = (keys_to_clean
+                               if keys_to_clean is not None else [])
         super().__init__(
             fixed_parameters={'keys_to_clean': self._keys_to_clean},
             multiscale_processing=multiscale_processing,

@@ -26,7 +26,8 @@ from .base import Backbone
 class ResNetBackbone(Backbone):
     block: str = 'basicblock'
     layers: Tuple[int, ...] = (2, 2, 2, 2)
-    replace_stride_with_dilation: Tuple[bool, bool, bool] = (False, False, False)
+    replace_stride_with_dilation: Tuple[bool, bool, bool] = \
+        (False, False, False)
     norm: str = 'batchnorm'
     act: str = 'relu'
     n_input_channels: int = 3

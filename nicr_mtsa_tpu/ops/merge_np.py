@@ -35,7 +35,8 @@ def naive_merge_semantic_and_instance_np(
     pan_seg = np.zeros_like(sem_seg, dtype=np.uint32) + void_label
     class_id_tracker: Counter = Counter()
     id_dict: Dict[int, int] = {}
-    thing_id_set = set(int(t) for t in thing_ids) if thing_ids is not None else set()
+    thing_id_set = (set(int(t) for t in thing_ids)
+                    if thing_ids is not None else set())
 
     for ins_id in np.unique(ins_seg):
         if ins_id == 0:
@@ -83,7 +84,8 @@ def deeplab_merge_semantic_and_instance_np(
 
     class_id_tracker: Counter = Counter()
     id_dict: Dict[int, int] = {}
-    thing_id_set = set(int(t) for t in thing_ids) if thing_ids is not None else set()
+    thing_id_set = (set(int(t) for t in thing_ids)
+                    if thing_ids is not None else set())
 
     for ins_id in np.unique(ins_seg):
         if ins_id == 0:

@@ -49,7 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _interleave_sublanes(a, b):
-    """(Wt, Bt), (Wt, Bt) -> (2Wt, Bt) with out[2j] = a[j], out[2j+1] = b[j]."""
+    """(Wt, Bt), (Wt, Bt) -> (2Wt, Bt): out[2j] = a[j], out[2j+1] = b[j]."""
     return jnp.stack([a, b], axis=1).reshape(2 * a.shape[0], a.shape[1])
 
 

@@ -22,7 +22,9 @@ import optax
 
 from .data.preprocessing.base import APPLIED_PREPROCESSING_KEY
 from .data.preprocessing.normalize import RGB_MEAN, RGB_STD
-from .models.multi_task import MultiTaskModel, MultiTaskModelConfig, build_model
+from .models.multi_task import (
+    MultiTaskModel, MultiTaskModelConfig, build_model,
+)
 from .postprocessing import (
     DenseVisualEmbeddingPostprocessing,
     InstancePostprocessing,

@@ -9,7 +9,9 @@ import jax
 import jax.numpy as jnp
 
 from ..data.preprocessing.resize import get_fullres_key
+from ..ops.pallas.semantic_reduce import semantic_score_idx
 from .base import DensePostprocessingBase
+from .semantic import _fullres_score_idx
 
 
 class DenseVisualEmbeddingPostprocessing(DensePostprocessingBase):
@@ -57,13 +59,17 @@ class DenseVisualEmbeddingPostprocessing(DensePostprocessingBase):
         logits_fullres = self._crop_to_valid_region_and_resize_prediction(
             logits, crop_slices, resize_shape, mode='bilinear')
         pred_fullres = jax.nn.softmax(logits_fullres, axis=-1)
+        # score/idx via the fused crop+resize+reduce kernel when
+        # supported (argmax bit-identical to reducing logits_fullres;
+        # in metric-only eval the dense fullres logits/softmax keys
+        # above are DCE'd and this is the only fullres work left)
+        score_fr, idx_fr = _fullres_score_idx(
+            logits, crop_slices, resize_shape, semantic_score_idx)
         r_dict.update({
             get_fullres_key(f'{prefix}_output'): logits_fullres,
             get_fullres_key(f'{prefix}_softmax_scores'): pred_fullres,
-            get_fullres_key(f'{prefix}_score'):
-                jnp.max(pred_fullres, axis=-1),
-            get_fullres_key(f'{prefix}_idx'):
-                jnp.argmax(pred_fullres, axis=-1).astype(jnp.int32),
+            get_fullres_key(f'{prefix}_score'): score_fr,
+            get_fullres_key(f'{prefix}_idx'): idx_fr,
         })
         return r_dict
 

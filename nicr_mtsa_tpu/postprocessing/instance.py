@@ -172,7 +172,8 @@ class InstancePostprocessing(DensePostprocessingBase):
         # o-2: predicted instances + GT orientation foreground
         if all(k in batch for k in ('instance_foreground',
                                     'orientation_foreground')):
-            r_dict['orientations_instance_segmentation_gt_orientation_foreground'] = \
+            r_dict['orientations_instance_segmentation'
+                   '_gt_orientation_foreground'] = \
                 self._get_instance_orientation(
                     orientation,
                     r_dict['instance_segmentation_gt_foreground'],

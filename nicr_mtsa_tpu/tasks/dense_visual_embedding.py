@@ -137,6 +137,47 @@ class DenseVisualEmbeddingTaskHelper(TaskHelperBase):
     def training_step(self, batch, batch_idx, predictions_post):
         return self.compute_losses(batch, predictions_post), {}
 
+    # --- functional metric-state API (fused eval step) ----------------------
+    # Retrieval mIoU (text-based and visual-mean-based semantic, ref
+    # task_helper/dense_visual_embedding.py:33-339) as confusion-
+    # matrix states updated inside the fused eval jit.
+    def empty_metric_states(self):
+        return {'text_cm': self._text_metric_iou.empty_state(),
+                'visual_mean_cm':
+                    self._visual_mean_metric_iou.empty_state()}
+
+    def _retrieval_cm(self, batch, predictions_post, key):
+        if key not in predictions_post:
+            return None
+        target = jnp.asarray(self.get_fullres(batch, 'semantic'))
+        preds = predictions_post[key]
+        valid = target != 0
+        t = jnp.where(valid, target.astype(jnp.int32) - 1, 0)
+        p = jnp.where(valid, preds.astype(jnp.int32), 0)
+        cm = confusion_matrix(p, t, self._n_classes)
+        return cm.at[0, 0].add(-jnp.sum(~valid).astype(cm.dtype))
+
+    def update_metric_states(self, state, batch, predictions_post):
+        if state is None:
+            state = self.empty_metric_states()
+        new = dict(state)
+        for state_key, pred_key in (
+                ('text_cm', 'dense_visual_embedding_text_based'
+                            '_semantic_idx'),
+                ('visual_mean_cm', 'dense_visual_embedding'
+                                   '_visual_mean_based_semantic_idx')):
+            cm = self._retrieval_cm(batch, predictions_post,
+                                    get_fullres_key(pred_key))
+            if cm is not None:
+                new[state_key] = state[state_key] + cm
+        return new
+
+    def load_metric_states(self, state):
+        """Adopt fused-eval states so validation_epoch_end reports
+        them."""
+        self._text_metric_iou.state = state['text_cm']
+        self._visual_mean_metric_iou.state = state['visual_mean_cm']
+
     def _update_retrieval_miou(self, metric, batch, predictions_post, key):
         if key not in predictions_post:
             return

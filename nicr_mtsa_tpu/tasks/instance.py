@@ -174,6 +174,60 @@ class InstanceTaskHelper(TaskHelperBase):
             n_classes_with_void=self._semantic_n_classes,
         )
 
+    # --- functional metric-state API (fused eval step) ----------------------
+    # The reference scores the instance branch in isolation by merging
+    # predicted instances with the GT semantic and running the
+    # orientation-aware PQ (ref task_helper/instance.py:35-436). Here
+    # that pipeline runs INSIDE the fused eval jit: the GT side (slot
+    # map of 'panoptic_fullres' against 'panoptic_segment_table_fullres'
+    # and the GT angle tables) is byte-identical to the panoptic
+    # helper's, so XLA CSEs it across the two PQ pipelines -- only the
+    # pred-side slot map / intersection is new work. Orientation MAE
+    # uses the precomputed 'panoptic_gt_angle_table' (preprocessing)
+    # instead of validation_step's host dict walk; the plain
+    # MAE-on-GT-instances metric (self._mae_gt) needs host-aligned id
+    # dicts and stays on the non-fused validation_step path.
+    def empty_metric_states(self):
+        return {'pq': self._mae_pq_deeplab.empty_state()}
+
+    def update_metric_states(self, state, batch, predictions_post):
+        if state is None:
+            state = self.empty_metric_states()
+        merge = self._merge_with_gt_semantic(batch, predictions_post)
+        panoptic_target = jnp.asarray(
+            self.get_fullres(batch, 'panoptic'), jnp.int32)
+        gt_table = jnp.asarray(batch['panoptic_segment_table_fullres'])
+        pred_table = merged_segment_table(
+            merge.panoptic, self._semantic_n_classes,
+            self._top_k_instances, self._max_instances_per_category,
+            self._mae_pq_deeplab._pred_table_size)
+
+        kwargs = {}
+        ori_key = ('orientations_instance_segmentation'
+                   '_gt_orientation_foreground')
+        if 'panoptic_gt_angle_table' in batch \
+                and ori_key in predictions_post:
+            pred_angle, pred_angle_valid = pred_slot_angles(
+                pred_table, merge.panoptic_id_table,
+                predictions_post[ori_key])
+            kwargs = dict(
+                gt_angle=jnp.asarray(batch['panoptic_gt_angle_table']),
+                gt_angle_valid=jnp.asarray(
+                    batch['panoptic_gt_angle_table_valid']),
+                pred_angle=pred_angle,
+                pred_angle_valid=pred_angle_valid,
+            )
+
+        pq_state = self._mae_pq_deeplab.update_state(
+            state['pq'], merge.panoptic, panoptic_target,
+            gt_table=gt_table, pred_table=pred_table, **kwargs)
+        return {'pq': pq_state}
+
+    def load_metric_states(self, state):
+        """Adopt fused-eval states so validation_epoch_end reports
+        them."""
+        self._mae_pq_deeplab.state = state['pq']
+
     @append_profile_to_logs('instance_step_time')
     @append_detached_losses_to_logs()
     def validation_step(self, batch, batch_idx, predictions_post):

@@ -21,7 +21,8 @@ SampleType = Dict[str, Any]
 BatchType = Dict[str, Any]
 
 # encoder contract (reference: model/encoder.py:52-60)
-# {modality: array} for inputs/outputs; skips are {str(downsampling): {modality: array}}
+# {modality: array} for inputs/outputs; skips are
+# {str(downsampling): {modality: array}}
 EncoderInputType = Dict[str, ArrayType]
 EncoderSkipsType = Dict[str, Dict[str, ArrayType]]
 EncoderOutputType = Tuple[EncoderInputType, EncoderSkipsType]

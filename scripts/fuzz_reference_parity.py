@@ -47,7 +47,8 @@ def make_inputs(rng, regime, H, W, n_classes):
     next_id = 1
     for _ in range(n_inst):
         cy, cx = rng.integers(0, H), rng.integers(0, W)
-        hh, ww = rng.integers(2, max(3, H // 3)), rng.integers(2, max(3, W // 3))
+        hh = rng.integers(2, max(3, H // 3))
+        ww = rng.integers(2, max(3, W // 3))
         sl = (slice(max(0, cy - hh // 2), min(H, cy + hh // 2 + 1)),
               slice(max(0, cx - ww // 2), min(W, cx + ww // 2 + 1)))
         instance[sl] = next_id

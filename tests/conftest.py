@@ -25,3 +25,18 @@ import pytest  # noqa: E402
 def _seed_numpy():
     np.random.seed(0)
     yield
+
+
+@pytest.fixture(autouse=True, scope='module')
+def _clear_jax_caches_per_module():
+    """Cap XLA-CPU RSS growth across the suite.
+
+    Compiled executables and dispatch caches accumulate per process;
+    on small (1-core/12 GB) hosts the xdist workers otherwise segfault
+    near the end of a full run (observed twice at ~1h20m; the victim
+    test passes in isolation). Module-scoped fixtures never outlive
+    this teardown, so nothing is recompiled that was still needed."""
+    yield
+    import gc
+    jax.clear_caches()
+    gc.collect()

@@ -126,7 +126,8 @@ def test_instance_contract(mlp):
                 'instance_segmentation_gt_meta',
                 'instance_segmentation_gt_foreground_fullres',
                 'orientations_gt_instance_gt_orientation_foreground',
-                'orientations_instance_segmentation_gt_orientation_foreground'):
+                'orientations_instance_segmentation'
+                '_gt_orientation_foreground'):
         assert key in r, key
     assert r['instance_segmentation_gt_foreground'].shape == (2, H, W)
     meta = r['instance_segmentation_gt_meta']

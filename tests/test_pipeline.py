@@ -208,13 +208,32 @@ def test_fused_eval_step(pipeline_and_state):
         states['semantic']
     pipeline.task_helpers['panoptic'].load_metric_states(
         states['panoptic'])
+    pipeline.task_helpers['instance'].load_metric_states(
+        states['instance'])
     pipeline.task_helpers['scene']._cm_state = states['scene']
     artifacts, _, logs = pipeline.validation_epoch_end()
     assert 'semantic_miou' in logs
     assert 0.0 <= float(logs['panoptic_all_deeplab_pq']) <= 1.0
+    assert 'instance_all_deeplab_pq' in logs
     # two identical batches -> confusion counts = 2x non-void pixels
     assert int(np.asarray(artifacts['semantic_cm']).sum()) == \
         2 * int((batch['semantic_fullres'] != 0).sum())
+
+    # the fused instance-PQ-with-GT-semantic states (ref task_helper/
+    # instance.py:35-436 validation) must equal the eager
+    # validation_step accumulation over the same two batches -- this
+    # also checks the precomputed 'panoptic_gt_angle_table' path
+    # against validation_step's host dict walk (gt_slot_angles)
+    helper = pipeline.task_helpers['instance']
+    helper._mae_pq_deeplab.reset()
+    pipeline.validation_step(state, batch, batch_idx=0)
+    pipeline.validation_step(state, batch, batch_idx=1)
+    eager = jax.device_get(helper._mae_pq_deeplab.state)
+    fused = jax.device_get(states['instance']['pq'])
+    for key, val in eager.items():
+        np.testing.assert_allclose(
+            np.asarray(fused[key]), np.asarray(val), rtol=1e-5,
+            err_msg=f'instance pq state {key}')
 
 
 def test_emsaformer_style_train_step():

@@ -184,7 +184,8 @@ def test_hsv_matches_opencv():
     cv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV)
     # hue may differ by 1 step due to rounding; s/v by 1
     assert np.abs(ours[..., 0].astype(int) - cv[..., 0].astype(int)).max() <= 1
-    assert np.abs(ours[..., 1:].astype(int) - cv[..., 1:].astype(int)).max() <= 1
+    assert np.abs(ours[..., 1:].astype(int)
+                  - cv[..., 1:].astype(int)).max() <= 1
 
     back_ours = hsv_to_rgb_uint8(cv)
     back_cv = cv2.cvtColor(cv, cv2.COLOR_HSV2RGB)

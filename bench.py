@@ -24,6 +24,7 @@ def run_train_bench(args, model, H, W, n_classes, is_thing, rng):
     import time
 
     import jax
+    import jax.numpy as jnp
     import numpy as np
     import optax
 
@@ -52,7 +53,13 @@ def run_train_bench(args, model, H, W, n_classes, is_thing, rng):
                 top_k_instances=64),
             'scene': SceneTaskHelper(n_classes=10),
         },
-        optimizer=optax.adamw(1e-4),
+        # bf16 first moment halves the larger Adam buffer (~200 MB of
+        # f32 params at the flagship size): closes the former B128+
+        # remat OOM-by-95M (PERF.md batch-size boundaries); the second
+        # moment stays f32 (bf16 nu loses too much precision in the
+        # sqrt denominator)
+        optimizer=optax.adamw(
+            1e-4, mu_dtype=jnp.bfloat16 if args.mu_bf16 else None),
         # the bench loop is `state = step(state, ...)`: donate so
         # params/opt buffers update in place (no double-buffering)
         donate_train_state=True,
@@ -215,7 +222,9 @@ def run_eval_bench(args, model, H, W, n_classes, is_thing, emit=True,
             sigma_for_additional_downscales={4: 2, 8: 2, 16: 1, 32: 1}),
         OrientationTargetGenerator(
             semantic_classes_estimate_orientation=is_thing_v),
-        PanopticTargetGenerator(semantic_classes_is_thing=is_thing_v),
+        PanopticTargetGenerator(
+            semantic_classes_is_thing=is_thing_v,
+            segment_table_size=args.segment_table_size),
         NormalizeRGB(),
         NormalizeDepth(depth_mean=8000.0, depth_std=4000.0,
                        raw_depth=True),
@@ -470,6 +479,19 @@ def main():
                         help='serving: use the single-stage fused '
                              'finisher (final upsample only) instead '
                              'of the 4x finisher')
+    parser.add_argument('--mu-bf16', action='store_true',
+                        help='--train only: store the AdamW first '
+                             'moment in bfloat16 (halves the larger '
+                             'optimizer buffer; lifts the B128+remat '
+                             'activation ceiling)')
+    parser.add_argument('--segment-table-size', type=int, default=256,
+                        help='--eval only: GT panoptic segment-table '
+                             'capacity (PQ gt slots). 256 covers '
+                             'hypersim-scale images; NYUv2/SUNRGBD '
+                             'images hold <= ~64 segments, where 128 '
+                             'shrinks the PQ intersection/slot-map '
+                             'work. Preprocessing records overflow if '
+                             'an image exceeds it')
     parser.add_argument('--dataset', default='',
                         help='--eval only: path to a directory dataset '
                              '(nicr_mtsa_tpu/data/dataset.py layout); '

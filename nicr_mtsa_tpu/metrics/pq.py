@@ -56,8 +56,17 @@ def pq_compare(
     num_categories: int,
     ignored_label: int,
     max_instances_per_category: int,
+    pred_slots: jnp.ndarray = None,  # (B, H, W) precomputed slot map
+    gt_slots: jnp.ndarray = None,    # (B, H, W) precomputed slot map
 ) -> PQCompareResult:
-    B = pred.shape[0]
+    """`pred` may be None when `pred_slots` is given: producers that
+    know each pixel's (class, rank) emit the slot map directly
+    (ops/merge.deeplab_merge_pq) and skip the bucketed table search
+    -- the id MAP is only ever consumed through its slots. `gt_slots`
+    lets an eval step that runs SEVERAL PQ pipelines against the same
+    GT (panoptic + instance-with-GT-semantic) compute the GT slot map
+    once (pipeline.make_fused_eval_step)."""
+    B = target.shape[0]
     C = num_categories
     M = max_instances_per_category
     S_gt = gt_table.shape[-1]
@@ -67,8 +76,10 @@ def pq_compare(
     # (B, H, W) maps stay unflattened: ids_to_slots/intersection_matrix
     # broadcast/contract the spatial dims directly, so the batch-minor
     # maps never pay a (B, P) linearization copy (~13 ms at B128 eval)
-    gt_slots = ids_to_slots(target.astype(jnp.int32), gt_table)
-    pred_slots = ids_to_slots(pred.astype(jnp.int32), pred_table)
+    if gt_slots is None:
+        gt_slots = ids_to_slots(target.astype(jnp.int32), gt_table)
+    if pred_slots is None:
+        pred_slots = ids_to_slots(pred.astype(jnp.int32), pred_table)
     N_full = intersection_matrix(gt_slots, pred_slots, S_gt, S_pred)
 
     # segment areas include the overflow row/col (total pixel counts)
@@ -175,7 +186,7 @@ class PanopticQuality(MetricBase):
         }
 
     def _tables(self, preds, targets, gt_table, pred_table):
-        B = preds.shape[0]
+        B = targets.shape[0]
         if gt_table is None:
             gt_table = unique_table(
                 targets.reshape(B, -1), self._gt_table_size)
@@ -184,7 +195,8 @@ class PanopticQuality(MetricBase):
                 preds.reshape(B, -1), self._pred_table_size)
         return gt_table, pred_table
 
-    def compare(self, preds, targets, gt_table=None, pred_table=None):
+    def compare(self, preds, targets, gt_table=None, pred_table=None,
+                pred_slots=None, gt_slots=None):
         """Jittable core; returns the PQCompareResult for one batch."""
         gt_table, pred_table = self._tables(preds, targets,
                                             gt_table, pred_table)
@@ -193,11 +205,14 @@ class PanopticQuality(MetricBase):
             num_categories=self.num_categories,
             ignored_label=self.ignored_label,
             max_instances_per_category=self.max_instances_per_category,
+            pred_slots=pred_slots, gt_slots=gt_slots,
         )
 
     def update_state(self, state, preds, targets,
-                     gt_table=None, pred_table=None):
-        res = self.compare(preds, targets, gt_table, pred_table)
+                     gt_table=None, pred_table=None, pred_slots=None,
+                     gt_slots=None):
+        res = self.compare(preds, targets, gt_table, pred_table,
+                           pred_slots, gt_slots)
         return {
             'iou_per_class': state['iou_per_class'] + res.iou_per_class,
             'tp_per_class': state['tp_per_class'] + res.tp_per_class,
@@ -281,6 +296,7 @@ class PanopticQualityWithOrientationMAE(PanopticQuality):
         gt_table=None, pred_table=None,
         gt_angle=None, gt_angle_valid=None,          # (B, S_gt)
         pred_angle=None, pred_angle_valid=None,      # (B, S_pred)
+        pred_slots=None, gt_slots=None,
     ):
         gt_table, pred_table = self._tables(preds, targets,
                                             gt_table, pred_table)
@@ -289,6 +305,7 @@ class PanopticQualityWithOrientationMAE(PanopticQuality):
             num_categories=self.num_categories,
             ignored_label=self.ignored_label,
             max_instances_per_category=self.max_instances_per_category,
+            pred_slots=pred_slots, gt_slots=gt_slots,
         )
         new = {
             'iou_per_class': state['iou_per_class'] + res.iou_per_class,

@@ -92,10 +92,12 @@ def make_sharded_eval_step(pipeline, mesh: Mesh,
                       if hasattr(h, 'update_metric_states')}
 
     def _local_update(batch_shard, preds_shard):
+        from ..pipeline import _add_shared_gt_slots
+        full = dict(batch_shard)
+        full.update(static_batch)
+        _add_shared_gt_slots(full)
         contribs = {}
         for name, helper in metric_helpers.items():
-            full = dict(batch_shard)
-            full.update(static_batch)
             contribs[name] = helper.update_metric_states(
                 None, full, preds_shard)
         return psum_state(contribs, axis_name)

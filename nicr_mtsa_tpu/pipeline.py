@@ -52,6 +52,27 @@ def strip_non_arrays(batch):
     return out
 
 
+def _add_shared_gt_slots(full_batch) -> None:
+    """Precompute the GT PQ slot map once per step (in place).
+
+    The panoptic helper and the instance helper both score against the
+    SAME fullres GT panoptic + segment table; without this, each
+    pq_compare re-runs the bucketed `ids_to_slots` search over the
+    (B, H, W) GT map (CSE across the nested pq_compare jit calls is
+    not guaranteed). Helpers pick the key up via
+    `batch.get('panoptic_gt_slots_fullres')`."""
+    if 'panoptic_segment_table_fullres' not in full_batch:
+        return
+    from .data.preprocessing.resize import get_fullres
+    from .ops.segments import ids_to_slots
+    target = get_fullres(full_batch, 'panoptic')
+    if target is None:
+        return
+    full_batch['panoptic_gt_slots_fullres'] = ids_to_slots(
+        jnp.asarray(target, jnp.int32),
+        jnp.asarray(full_batch['panoptic_segment_table_fullres']))
+
+
 def default_postprocessors(
     tasks: Sequence[str],
     semantic_classes_is_thing: Sequence[bool],   # without void
@@ -338,6 +359,7 @@ class MultiTaskPipeline:
             full_batch.update(static_batch)
             predictions_post = self._val_forward_impl(
                 params, batch_stats, full_batch)
+            _add_shared_gt_slots(full_batch)
 
             new_states = dict(metric_states)
             losses = {}

@@ -16,7 +16,7 @@ import numpy as np
 from ..data.preprocessing.resize import get_fullres_key
 from ..ops.grouping import instance_orientations
 from ..ops.lookup import bool_table_lookup, value_table_lookup
-from ..ops.merge import deeplab_merge
+from ..ops.merge import deeplab_merge_pq
 from .base import DensePostprocessingBase
 from .instance import InstancePostprocessing
 from .semantic import SemanticPostprocessing
@@ -91,7 +91,11 @@ class PanopticPostprocessing(DensePostprocessingBase):
         instance_segmentation = result.segmentation
 
         # deeplab merge on device (semantic + 1: void missing in preds)
-        merge = deeplab_merge(
+        # -- the _pq variant also emits the per-pixel PQ slot map +
+        # segment table, so the metric consumers skip the fullres
+        # bucketed table search (slots commute with the nearest
+        # fullres resize; unused outputs are DCE'd in serving)
+        merge = deeplab_merge_pq(
             semantic_idx + 1,
             instance_segmentation,
             foreground_mask,
@@ -106,6 +110,9 @@ class PanopticPostprocessing(DensePostprocessingBase):
         # per-sample {panoptic_id: instance_id} dict, inverted + padded)
         r_dict['panoptic_segmentation_deeplab_ids'] = \
             merge.panoptic_id_table
+        r_dict['panoptic_segmentation_deeplab_slots'] = merge.slots
+        r_dict['panoptic_segmentation_deeplab_slot_table'] = \
+            merge.pred_table
 
         pan_seg_semantic = panoptic_seg // self._max_instances_per_category
         r_dict['panoptic_segmentation_deeplab_semantic_idx'] = \
@@ -132,7 +139,8 @@ class PanopticPostprocessing(DensePostprocessingBase):
 
         for key in ('panoptic_segmentation_deeplab',
                     'panoptic_segmentation_deeplab_instance_idx',
-                    'panoptic_segmentation_deeplab_semantic_idx'):
+                    'panoptic_segmentation_deeplab_semantic_idx',
+                    'panoptic_segmentation_deeplab_slots'):
             r_dict[get_fullres_key(key)] = \
                 self._crop_to_valid_region_and_resize_prediction(
                     r_dict[key], crop_slices, resize_shape, mode='nearest')

@@ -20,7 +20,7 @@ from ..losses import L1Loss, MSELoss, VonMisesLossBiternion
 from ..metrics import (
     MeanAbsoluteAngularError, PanopticQualityWithOrientationMAE,
 )
-from ..ops.merge import deeplab_merge
+from ..ops.merge import deeplab_merge, deeplab_merge_pq
 from ..ops.segments import SEGMENT_TABLE_PAD, merged_segment_table
 from ._orientation_tables import gt_slot_angles, pred_slot_angles
 from .base import (
@@ -193,14 +193,27 @@ class InstanceTaskHelper(TaskHelperBase):
     def update_metric_states(self, state, batch, predictions_post):
         if state is None:
             state = self.empty_metric_states()
-        merge = self._merge_with_gt_semantic(batch, predictions_post)
+        # merge-with-GT-semantic composed with the PQ slot mapping:
+        # the fullres merged id map never materializes and the pred
+        # slots skip the bucketed table search (ops/merge.py
+        # deeplab_merge_pq; state-equal to the validation_step path,
+        # asserted in tests/test_pipeline.py)
+        semantic = jnp.asarray(self.get_fullres(batch, 'semantic'),
+                               jnp.int32)
+        instance_pred = predictions_post[
+            get_fullres_key('instance_segmentation_gt_foreground')]
+        instance_gt = jnp.asarray(self.get_fullres(batch, 'instance'))
+        merge = deeplab_merge_pq(
+            semantic, instance_pred.astype(jnp.int32),
+            instance_gt != 0,
+            jnp.asarray(self._semantic_classes_is_thing),
+            max_instances_per_category=self._max_instances_per_category,
+            top_k=self._top_k_instances,
+            n_classes_with_void=self._semantic_n_classes,
+            pred_table_size=self._mae_pq_deeplab._pred_table_size)
         panoptic_target = jnp.asarray(
             self.get_fullres(batch, 'panoptic'), jnp.int32)
         gt_table = jnp.asarray(batch['panoptic_segment_table_fullres'])
-        pred_table = merged_segment_table(
-            merge.panoptic, self._semantic_n_classes,
-            self._top_k_instances, self._max_instances_per_category,
-            self._mae_pq_deeplab._pred_table_size)
 
         kwargs = {}
         ori_key = ('orientations_instance_segmentation'
@@ -208,7 +221,7 @@ class InstanceTaskHelper(TaskHelperBase):
         if 'panoptic_gt_angle_table' in batch \
                 and ori_key in predictions_post:
             pred_angle, pred_angle_valid = pred_slot_angles(
-                pred_table, merge.panoptic_id_table,
+                merge.pred_table, merge.panoptic_id_table,
                 predictions_post[ori_key])
             kwargs = dict(
                 gt_angle=jnp.asarray(batch['panoptic_gt_angle_table']),
@@ -219,8 +232,10 @@ class InstanceTaskHelper(TaskHelperBase):
             )
 
         pq_state = self._mae_pq_deeplab.update_state(
-            state['pq'], merge.panoptic, panoptic_target,
-            gt_table=gt_table, pred_table=pred_table, **kwargs)
+            state['pq'], None, panoptic_target,
+            gt_table=gt_table, pred_table=merge.pred_table,
+            pred_slots=merge.slots,
+            gt_slots=batch.get('panoptic_gt_slots_fullres'), **kwargs)
         return {'pq': pq_state}
 
     def load_metric_states(self, state):

@@ -70,13 +70,25 @@ class PanopticTaskHelper(TaskHelperBase):
         panoptic_pred = predictions_post[
             get_fullres_key('panoptic_segmentation_deeplab')] \
             .astype(jnp.int32)
-        # sort-free segment table: merged maps have rank <= K ids
-        top_k = predictions_post[
-            'panoptic_segmentation_deeplab_ids'].shape[1] - 1
-        pred_table = merged_segment_table(
-            panoptic_pred, self._semantic_n_classes, top_k,
-            self._max_instances_per_category,
-            self._mae_pq_deeplab._pred_table_size)
+        pred_slots = None
+        slots_key = get_fullres_key('panoptic_segmentation_deeplab_slots')
+        if slots_key in predictions_post \
+                and 'panoptic_segmentation_deeplab_slot_table' \
+                in predictions_post:
+            # merge-produced slot map (nearest-resized to fullres like
+            # the id map itself -- slots commute with nearest resize):
+            # skips merged_segment_table + the bucketed table search
+            pred_table = predictions_post[
+                'panoptic_segmentation_deeplab_slot_table']
+            pred_slots = predictions_post[slots_key].astype(jnp.int32)
+        else:
+            # sort-free segment table: merged maps have rank <= K ids
+            top_k = predictions_post[
+                'panoptic_segmentation_deeplab_ids'].shape[1] - 1
+            pred_table = merged_segment_table(
+                panoptic_pred, self._semantic_n_classes, top_k,
+                self._max_instances_per_category,
+                self._mae_pq_deeplab._pred_table_size)
 
         kwargs = {}
         if 'panoptic_gt_angle_table' in batch and \
@@ -94,7 +106,9 @@ class PanopticTaskHelper(TaskHelperBase):
 
         pq_state = self._mae_pq_deeplab.update_state(
             state['pq'], panoptic_pred, panoptic_target,
-            gt_table=gt_table, pred_table=pred_table, **kwargs)
+            gt_table=gt_table, pred_table=pred_table,
+            pred_slots=pred_slots,
+            gt_slots=batch.get('panoptic_gt_slots_fullres'), **kwargs)
 
         deeplab_semantic = panoptic_pred // self._max_instances_per_category
         target_semantic = jnp.asarray(

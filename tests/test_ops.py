@@ -494,3 +494,73 @@ class TestFusedLayerNorm:
         y_n = nn.LayerNorm().apply(v_n, x)
         np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_n),
                                    atol=1e-6)
+
+
+@pytest.mark.parametrize('seed', [0, 1, 2])
+def test_deeplab_merge_pq_states_match_two_step(seed):
+    """`deeplab_merge_pq` (merge composed with the PQ slot mapping;
+    structurally over-inclusive pred table with zero-area stuff slots)
+    must produce PQ states EQUAL to the two-step path
+    merge -> merged_segment_table -> ids_to_slots: PQ is
+    slot-permutation-invariant and zero-area slots are inert."""
+    from nicr_mtsa_tpu.metrics import PanopticQuality
+    from nicr_mtsa_tpu.ops.merge import deeplab_merge_pq
+    from nicr_mtsa_tpu.ops.segments import merged_segment_table
+
+    rng = np.random.default_rng(seed)
+    H, W, K, C = 30, 40, 8, 9
+    thing_ids = (1, 2, 3)
+    sem = rng.integers(0, C, (2, H, W)).astype(np.int32)
+    ins = rng.integers(0, K + 1, (2, H, W)).astype(np.int32)
+    fg = rng.random((2, H, W)) > 0.3
+    thing_table = np.array([c in thing_ids for c in range(C)])
+    M = 1 << 16
+    S_pred = 32
+
+    # a random GT panoptic + its table
+    gt_sem = rng.integers(0, C, (2, H, W)).astype(np.int32)
+    gt_ins = rng.integers(0, K + 1, (2, H, W)).astype(np.int32)
+    gt = deeplab_merge(
+        jnp.asarray(gt_sem), jnp.asarray(gt_ins),
+        jnp.asarray(rng.random((2, H, W)) > 0.3),
+        jnp.asarray(thing_table), max_instances_per_category=M,
+        top_k=K, n_classes_with_void=C)
+    gt_table = unique_table(gt.panoptic.reshape(2, -1), 64)
+
+    pq = PanopticQuality(
+        num_categories=C, ignored_label=0,
+        max_instances_per_category=M, is_thing=thing_table)
+
+    old = deeplab_merge(
+        jnp.asarray(sem), jnp.asarray(ins), jnp.asarray(fg),
+        jnp.asarray(thing_table), max_instances_per_category=M,
+        top_k=K, n_classes_with_void=C)
+    old_table = merged_segment_table(old.panoptic, C, K, M, S_pred)
+    state_old = pq.update_state(
+        pq.empty_state(), old.panoptic, gt.panoptic,
+        gt_table=gt_table, pred_table=old_table)
+
+    new = deeplab_merge_pq(
+        jnp.asarray(sem), jnp.asarray(ins), jnp.asarray(fg),
+        jnp.asarray(thing_table), max_instances_per_category=M,
+        top_k=K, n_classes_with_void=C, pred_table_size=S_pred)
+    state_new = pq.update_state(
+        pq.empty_state(), None, gt.panoptic,
+        gt_table=gt_table, pred_table=new.pred_table,
+        pred_slots=new.slots)
+
+    np.testing.assert_array_equal(
+        np.asarray(new.panoptic_id_table),
+        np.asarray(old.panoptic_id_table))
+    for key in state_old:
+        np.testing.assert_allclose(
+            np.asarray(state_new[key]), np.asarray(state_old[key]),
+            rtol=1e-6, err_msg=key)
+
+    # the slot map is consistent with its own table: looking the slots
+    # back up through the table reproduces the merged id map
+    table = np.asarray(new.pred_table)
+    slots = np.asarray(new.slots).reshape(2, -1)
+    ids = np.take_along_axis(table, slots, axis=1)
+    np.testing.assert_array_equal(
+        ids, np.asarray(old.panoptic).reshape(2, -1))

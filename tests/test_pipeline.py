@@ -225,7 +225,9 @@ def test_fused_eval_step(pipeline_and_state):
     # also checks the precomputed 'panoptic_gt_angle_table' path
     # against validation_step's host dict walk (gt_slot_angles)
     helper = pipeline.task_helpers['instance']
+    pan_helper = pipeline.task_helpers['panoptic']
     helper._mae_pq_deeplab.reset()
+    pan_helper._mae_pq_deeplab.reset()
     pipeline.validation_step(state, batch, batch_idx=0)
     pipeline.validation_step(state, batch, batch_idx=1)
     eager = jax.device_get(helper._mae_pq_deeplab.state)
@@ -234,6 +236,16 @@ def test_fused_eval_step(pipeline_and_state):
         np.testing.assert_allclose(
             np.asarray(fused[key]), np.asarray(val), rtol=1e-5,
             err_msg=f'instance pq state {key}')
+    # panoptic: the fused step consumes the merge-produced slot map
+    # (ops/merge.deeplab_merge_pq via the postprocessor keys) while
+    # eager validation_step re-derives the table from the fullres id
+    # map -- the two formulations must accumulate equal PQ states
+    eager_pan = jax.device_get(pan_helper._mae_pq_deeplab.state)
+    fused_pan = jax.device_get(states['panoptic']['pq'])
+    for key, val in eager_pan.items():
+        np.testing.assert_allclose(
+            np.asarray(fused_pan[key]), np.asarray(val), rtol=1e-5,
+            err_msg=f'panoptic pq state {key}')
 
 
 def test_emsaformer_style_train_step():

@@ -292,6 +292,7 @@ def run_eval_bench(args, model, H, W, n_classes, is_thing, emit=True,
         float(np.asarray(states['semantic']).sum())
     except Exception as e:
         if 'RESOURCE_EXHAUSTED' in str(e) or 'memory' in str(e).lower():
+            print(f'# OOM detail: {str(e)[:1200]}', file=sys.stderr)
             sys.exit(
                 f'eval batch {B} exceeds single-chip HBM for the full '
                 'fused program (model + logits + metric states). '

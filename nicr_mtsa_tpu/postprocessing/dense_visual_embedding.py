@@ -43,11 +43,16 @@ class DenseVisualEmbeddingPostprocessing(DensePostprocessingBase):
         return {'dense_visual_embedding_output': output,
                 'dense_visual_embedding_side_outputs': side_outputs}
 
-    def _add_semantic_results(self, output, weight, crop_slices,
-                              resize_shape, r_dict, prefix):
-        # cosine similarity = dot product of normalized embeddings
+    def _add_semantic_results(self, output, weight, inv_norm,
+                              crop_slices, resize_shape, r_dict, prefix):
+        # cosine similarity = dot product of normalized embeddings.
+        # The per-pixel normalization is applied to the (B, H, W, C)
+        # LOGITS, not the (B, H, W, D) map: (x / ||x||) . e_c ==
+        # (x . e_c) / ||x||, and the normalized f32 embedding map
+        # would be 20 GB at eval B32 (measured compile-time OOM).
         logits = jnp.einsum('bhwd,cd->bhwc', output, weight,
                             preferred_element_type=jnp.float32)
+        logits = logits * inv_norm[..., None]
         pred = jax.nn.softmax(logits, axis=-1)
         r_dict.update({
             f'{prefix}_output': logits,
@@ -78,19 +83,19 @@ class DenseVisualEmbeddingPostprocessing(DensePostprocessingBase):
         r_dict = {'dense_visual_embedding_output': output,
                   'dense_visual_embedding_side_outputs': side_outputs}
 
-        norm = jnp.linalg.norm(output, axis=-1, keepdims=True)
-        output = output / jnp.maximum(norm, 1e-12)
+        norm = jnp.linalg.norm(output.astype(jnp.float32), axis=-1)
+        inv_norm = 1.0 / jnp.maximum(norm, 1e-12)       # (B, H, W) f32
 
         crop_slices, resize_shape = self._fullres_args(batch, 'semantic')
 
         if self.with_semantic_text_embeddings:
             r_dict = self._add_semantic_results(
-                output, self._semantic_text_embeddings,
+                output, self._semantic_text_embeddings, inv_norm,
                 crop_slices, resize_shape, r_dict,
                 'dense_visual_embedding_text_based_semantic')
         if self.with_mean_visual_embedding_per_class:
             r_dict = self._add_semantic_results(
-                output, self._mean_visual_embedding_per_class,
+                output, self._mean_visual_embedding_per_class, inv_norm,
                 crop_slices, resize_shape, r_dict,
                 'dense_visual_embedding_visual_mean_based_semantic')
         return r_dict

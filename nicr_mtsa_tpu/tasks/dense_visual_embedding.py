@@ -78,6 +78,28 @@ class DenseVisualEmbeddingTaskHelper(TaskHelperBase):
         from ..models.upsampling import resize_nearest
         return resize_nearest(indices[..., None], h, w)[..., 0]
 
+    @staticmethod
+    def _cos_emb_via_lut(p, lut, oh):
+        """`1 - cos(p, lut[idx])` per pixel without the dense target.
+
+        numerator: s = p @ lut^T is (B, P, L+1); selecting its idx
+        column (elementwise with the one-hot, VPU reduce) equals
+        p . lut[idx]. The target norm is a per-row LUT-norm selection
+        -- pinned to HIGHEST precision because it routes VALUES
+        through a matmul (CLAUDE.md selection-matrix lesson)."""
+        x = p.astype(jnp.float32)
+        lut32 = lut.astype(jnp.float32)
+        s = jnp.einsum('bpd,bld->bpl', x, lut32,
+                       preferred_element_type=jnp.float32)
+        num = jnp.sum(oh * s, axis=-1)                      # (B, P)
+        lut_norm = jnp.linalg.norm(lut32, axis=-1)          # (B, L+1)
+        t_norm = jnp.einsum('bpl,bl->bp', oh, lut_norm,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+        x_norm = jnp.linalg.norm(x, axis=-1)                # (B, P)
+        cos = num / jnp.maximum(x_norm * t_norm, 1e-8)
+        return 1.0 - cos
+
     def compute_losses(self, batch, predictions_post) -> Dict:
         no_ms = self._disable_multiscale_supervision
         preds, keys, downscales = self.collect_predictions_for_loss(
@@ -111,13 +133,20 @@ class DenseVisualEmbeddingTaskHelper(TaskHelperBase):
             # (scalar-core serialization, PERF.md lesson 1); the f32
             # one-hot row has a single 1.0 so the selection is exact
             oh = jax.nn.one_hot(flat_idx, lut.shape[1], dtype=jnp.float32)
-            target = jnp.einsum(
-                'bpl,bld->bpd', oh, lut.astype(jnp.float32),
-                preferred_element_type=jnp.float32)     # (B, P, D)
             p = pred.reshape(B, -1, embedding_dim)
-            (per_elem, _), = self._loss([p], [target])
-            if per_elem.ndim == 3:                      # l1/mse: (B,P,D)
-                per_elem = jnp.mean(per_elem, axis=-1)
+            if self._loss_name == 'cos_emb':
+                # cos(x, lut[idx]) through the (B, P, L+1) score
+                # matrix: the dense (B, P, D) target NEVER exists (at
+                # the eval shape B64 x 480x640 x D512 it would be
+                # 40 GB -- measured HBM OOM)
+                per_elem = self._cos_emb_via_lut(p, lut, oh)
+            else:
+                target = jnp.einsum(
+                    'bpl,bld->bpd', oh, lut.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)  # (B, P, D)
+                (per_elem, _), = self._loss([p], [target])
+                if per_elem.ndim == 3:                   # l1/mse: (B,P,D)
+                    per_elem = jnp.mean(per_elem, axis=-1)
             per_elem = jnp.where(valid.reshape(B, -1), per_elem, 0.0)
             n = jnp.sum(valid.astype(jnp.int32))
             loss_outputs.append((jnp.sum(per_elem), jnp.maximum(n, 1)))

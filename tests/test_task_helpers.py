@@ -204,3 +204,54 @@ def test_checkpoint_save_load_roundtrip(tmp_path):
     assert int(np.asarray(loaded['step'])) == 7
     assert loaded_extra['epoch'] == 2
     assert loaded_extra['dwa']['weights']['a'] == 1.5
+
+
+def test_dve_fused_metric_states_match_eager():
+    """The DVE helper's functional metric-state API (fused eval step)
+    must accumulate the same text/visual-mean retrieval confusion
+    states as the eager validation_step path."""
+    import jax
+    from nicr_mtsa_tpu.data.preprocessing.resize import get_fullres_key
+
+    B, H, W = 2, 10, 12
+    rng = np.random.default_rng(3)
+    n_classes = 5
+    target = rng.integers(0, n_classes + 1, (B, H, W)).astype(np.int32)
+    text_idx = rng.integers(0, n_classes, (B, H, W)).astype(np.int32)
+    vis_idx = rng.integers(0, n_classes, (B, H, W)).astype(np.int32)
+
+    batch = {'semantic_fullres': jnp.asarray(target)}
+    preds = {
+        get_fullres_key('dense_visual_embedding_text_based'
+                        '_semantic_idx'): jnp.asarray(text_idx),
+        get_fullres_key('dense_visual_embedding_visual_mean_based'
+                        '_semantic_idx'): jnp.asarray(vis_idx),
+    }
+
+    helper = DenseVisualEmbeddingTaskHelper(n_classes=n_classes)
+    state = helper.update_metric_states(None, batch, preds)
+    state = helper.update_metric_states(state, batch, preds)
+
+    eager = DenseVisualEmbeddingTaskHelper(n_classes=n_classes)
+    for _ in range(2):
+        eager._update_retrieval_miou(
+            eager._text_metric_iou, batch, preds,
+            get_fullres_key('dense_visual_embedding_text_based'
+                            '_semantic_idx'))
+        eager._update_retrieval_miou(
+            eager._visual_mean_metric_iou, batch, preds,
+            get_fullres_key('dense_visual_embedding_visual_mean_based'
+                            '_semantic_idx'))
+
+    np.testing.assert_array_equal(
+        np.asarray(state['text_cm']),
+        np.asarray(eager._text_metric_iou.state))
+    np.testing.assert_array_equal(
+        np.asarray(state['visual_mean_cm']),
+        np.asarray(eager._visual_mean_metric_iou.state))
+
+    # load_metric_states adopts the fused states for epoch_end
+    helper.load_metric_states(jax.device_get(state))
+    _, _, logs = helper.validation_epoch_end()
+    assert 'dense_visual_embedding_text_miou' in logs
+    assert 'dense_visual_embedding_visual_mean_miou' in logs

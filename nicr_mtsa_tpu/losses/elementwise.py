@@ -17,14 +17,12 @@ def _reduce(loss, reduction: str, n_input_elements: int):
         return jnp.sum(loss), jnp.asarray(n_elements, jnp.int32)
     if 'mean' == reduction:
         return jnp.mean(loss), jnp.asarray(1, jnp.int32)
-    # 'none': report the PIXEL count like 'sum' does (the raw element
-    # count overflows int32 at dense-embedding shapes, e.g.
-    # B64 x 480x640 x D512 = 10e9; callers of 'none' compute their own
-    # masked counts anyway)
-    n_elements = loss.size
-    if loss.ndim in (2, 4):
-        n_elements //= loss.shape[-1]
-    return loss, jnp.asarray(n_elements, jnp.int32)
+    # 'none': n = input element count like the reference -- as a PLAIN
+    # python int, since it can exceed int32 at dense-embedding shapes
+    # (B64 x 480x640 x D512 = 10e9; an eager int32 device scalar
+    # overflowed at trace time). Callers of 'none' compute their own
+    # masked counts.
+    return loss, n_input_elements
 
 
 class L1Loss(LossBase):
@@ -75,7 +73,6 @@ class CosineEmbeddingLoss(LossBase):
             return jnp.sum(loss), jnp.asarray(loss.size, jnp.int32)
         if 'mean' == self._reduction:
             return jnp.mean(loss), jnp.asarray(1, jnp.int32)
-        # 'none': the loss is per PAIR (channel axis reduced by the
-        # cosine); input_.size would overflow int32 at dense-embedding
-        # shapes (B64 x 480x640 x D512)
-        return loss, jnp.asarray(loss.size, jnp.int32)
+        # 'none': n = input element count like the reference, as a
+        # plain python int (can exceed int32 at dense-embedding shapes)
+        return loss, input_.size

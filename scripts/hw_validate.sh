@@ -64,12 +64,19 @@ run_step serve_emsaformer_v2_b128 2400 \
 run_step serve_emsaformer_v1_b64 2400 \
     python bench.py --model emsaformer_dve --batch-size 64
 
-# 6. fused eval (B32 default, then the previously-OOM B64)
-run_step eval_b32 2400 python bench.py --eval
+# 6. fused eval (r5 semantics: BOTH PQ pipelines; B128 default point)
+run_step eval_b128 2400 python bench.py --eval --batch-size 128
 run_step eval_b64 2400 python bench.py --eval --batch-size 64
 
-# 7. train sanity (donated state)
+# 6b. second family fused eval incl. DVE retrieval states (B16 is the
+# supported point -- the 512-d dense head bounds the batch, PERF.md)
+run_step eval_emsaformer_b16 2400 \
+    python bench.py --eval --model emsaformer_dve_v2 --batch-size 16
+
+# 7. train sanity (donated state + r5 best config)
 run_step train 1800 python bench.py --train
+run_step train_b128_remat_mu 2400 \
+    python bench.py --train --batch-size 128 --remat --mu-bf16
 
 # 8. swin-train sanity (fused attention VJP on chip)
 run_step train_swin 2400 python bench.py --train \
